@@ -1,0 +1,72 @@
+"""K7: connected-components canonicalization via iterative DataFrame
+self-joins (min-label propagation).
+
+Each candidate entity is a vertex (string key); link edges (K6) connect
+variants of the same real-world entity. The component representative --
+the lexicographically smallest key -- becomes the canonical entity.
+
+Algorithm: iterative min-label propagation. Every round, each vertex
+adopts the minimum label among itself and its neighbors; converged when no
+label changes. Rounds = O(component diameter); name-similarity graphs have
+tiny diameters, so a handful of rounds suffice. This is the DataFrame
+rendition of the map-reduce CC algorithms (large-star/small-star family,
+Kiveris et al.) -- per SURVEY.md SS2.6 K7.
+
+Scale guards (the two failure modes of naive iterative DataFrames):
+  * lineage blowup -> ``localCheckpoint()`` every iteration truncates the
+    plan, keeping each round's job constant-size;
+  * convergence detection -> a single ``count`` of changed labels per
+    round (cheap agg on the checkpointed frame), hard max_iter backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src_key",
+    dst: str = "dst_key",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Returns ``DataFrame[key, component]`` for every vertex appearing in
+    ``edges``; ``component`` is the minimum key in the vertex's component.
+
+    Vertices not present in ``edges`` are their own components -- callers
+    union isolated vertices back in afterwards (left join + coalesce).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("u").alias("key")).distinct().withColumn(
+        "component", F.col("key")
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        # neighbor labels: for vertex u, min label among neighbors v
+        nbr = (
+            sym.join(labels, sym["v"] == labels["key"])
+            .select(F.col("u").alias("key"), "component")
+            .groupBy("key")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "key", "left")
+            .select(
+                "key",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+                F.col("component").alias("_old"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.where(F.col("component") != F.col("_old")).count()
+        labels = new_labels.drop("_old")
+        if changed == 0:
+            break
+    return labels

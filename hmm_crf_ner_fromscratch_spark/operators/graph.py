@@ -1,0 +1,134 @@
+"""K8: knowledge-graph materialization -- nodes + edges tables.
+
+nodes: ``node_id long, canonical string, entity_type string,
+        aliases array<string>, n_mentions long``
+edges: ``src long, pred string, dst long, weight double,
+        provenance array<struct<conv_id string, turn_idx int>>``
+
+Canonicalization: each (entity_type, surface) candidate maps to its
+connected component (K7); the canonical surface is the most-mentioned
+variant in the component (ties broken lexicographically -- deterministic).
+``node_id`` is ``xxhash64(entity_type, canonical surface)``: stable across
+runs and cluster sizes (no global ordering pass at 10^9-node scale);
+64-bit collision probability is negligible below ~10^8 nodes and the
+builder verifies uniqueness with a cheap count-distinct assertion.
+
+Provenance arrays are capped (``provenance_cap``) so a frequent triple
+cannot blow up a single row -- the full evidence remains derivable from
+the triples table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .components import connected_components
+from .linking import candidate_entities, link_edges
+
+
+def build_graph(
+    mentions: DataFrame,
+    triples: DataFrame,
+    link_threshold: float = 0.72,
+    provenance_cap: int = 20,
+    check_id_collisions: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """mentions + triples -> (nodes, edges)."""
+    cands = candidate_entities(mentions).persist()
+    edges_sim = link_edges(cands, threshold=link_threshold)
+    comp = connected_components(edges_sim)
+
+    keyed = cands.withColumn(
+        "key", F.concat_ws("|", "entity_type", "surface")
+    ).join(comp, "key", "left").withColumn(
+        "component", F.coalesce("component", F.col("key"))
+    )
+
+    # canonical surface: most-mentioned variant, ties -> lexicographic min
+    canon = (
+        keyed.groupBy("component")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_mentions")).alias("neg_n"),
+                    F.col("surface").alias("surface"),
+                )
+            ).alias("best")
+        )
+        .select("component", F.col("best.surface").alias("canonical"))
+    )
+    enriched = keyed.join(canon, "component")
+
+    nodes = (
+        enriched.groupBy("component", "canonical")
+        .agg(
+            F.first("entity_type").alias("entity_type"),
+            F.array_sort(F.collect_set("surface")).alias("aliases"),
+            F.sum("n_mentions").alias("n_mentions"),
+        )
+        .withColumn("node_id", F.xxhash64("entity_type", "canonical"))
+        .select("node_id", "canonical", "entity_type", "aliases", "n_mentions")
+    )
+
+    if check_id_collisions:
+        n, nd = nodes.agg(
+            F.count("*").alias("n"), F.countDistinct("node_id").alias("nd")
+        ).first()
+        if n != nd:
+            raise RuntimeError(f"node_id hash collision: {n} nodes, {nd} ids")
+
+    # surface -> node_id resolution map (per entity_type)
+    resolve = enriched.select(
+        "entity_type",
+        "surface",
+        F.xxhash64(F.col("entity_type"), F.col("canonical")).alias("node_id"),
+    )
+    r_subj = resolve.select(
+        F.col("entity_type").alias("subj_type"),
+        F.col("surface").alias("subj"),
+        F.col("node_id").alias("src"),
+    )
+    r_obj = resolve.select(
+        F.col("entity_type").alias("obj_type"),
+        F.col("surface").alias("obj"),
+        F.col("node_id").alias("dst"),
+    )
+    # TOOL subjects (R2 triples) have no mention-candidate entry; they get
+    # their own stable ids.
+    resolved = (
+        triples.join(r_subj, ["subj_type", "subj"], "left")
+        .join(r_obj, ["obj_type", "obj"], "left")
+        .withColumn(
+            "src",
+            F.coalesce("src", F.xxhash64(F.col("subj_type"), F.col("subj"))),
+        )
+        .withColumn(
+            "dst",
+            F.coalesce("dst", F.xxhash64(F.col("obj_type"), F.col("obj"))),
+        )
+    )
+    edges = (
+        resolved.groupBy("src", "pred", "dst")
+        .agg(
+            F.count("*").cast("double").alias("weight"),
+            F.slice(
+                F.collect_list(F.struct("conv_id", "turn_idx")),
+                1,
+                provenance_cap,
+            ).alias("provenance"),
+        )
+    )
+
+    tool_nodes = (
+        resolved.where(F.col("subj_type") == "TOOL")
+        .select(
+            F.col("src").alias("node_id"),
+            F.col("subj").alias("canonical"),
+            F.lit("TOOL").alias("entity_type"),
+            F.array(F.col("subj")).alias("aliases"),
+        )
+        .groupBy("node_id", "canonical", "entity_type")
+        .agg(F.first("aliases").alias("aliases"), F.count("*").alias("n_mentions"))
+    )
+    cands.unpersist()
+    return nodes.unionByName(tool_nodes), edges

@@ -1,0 +1,132 @@
+"""K5/K6: entity-link candidate blocking + similarity scoring.
+
+Input: the mentions table. Output: undirected link edges between distinct
+(entity_type, surface) candidate entities whose similarity clears a
+threshold -- the input to connected-components canonicalization (K7).
+
+Blocking (K5) avoids the O(n^2) all-pairs comparison: candidates are only
+compared inside blocks. Two complementary deterministic blocking keys:
+
+  B1: (entity_type, normalized-prefix) -- catches shared-prefix variants.
+  B2: (entity_type, token) for each normalized token -- catches reordered /
+      partially overlapping multi-token names regardless of prefix.
+
+Within a block, pairs are generated with an ordered self-join and scored.
+A ``max_block`` guard drops degenerate blocks (stopword-like tokens) whose
+pair count would explode -- standard set-similarity-join practice
+(prefix-filtering literature, cf. PAPERS.md).
+
+Scoring (K6) is pure Spark SQL: token-set Jaccard and character-3-gram
+Jaccard over the normalized surfaces, combined as their max (a surface
+pair is linkable if either view of it is similar). No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_THRESHOLD = 0.72
+DEFAULT_MAX_BLOCK = 256
+
+
+def candidate_entities(mentions: DataFrame) -> DataFrame:
+    """Distinct (entity_type, surface) candidates with mention counts and a
+    normalized form (lowercase, punctuation-stripped, space-collapsed)."""
+    return (
+        mentions.groupBy("entity_type", "surface")
+        .agg(F.count("*").alias("n_mentions"))
+        .withColumn(
+            "normalized",
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(F.col("surface")), r"[^\p{L}\p{Nd} ]", ""),
+                    r"\s+",
+                    " ",
+                )
+            ),
+        )
+        .where(F.col("normalized") != "")
+    )
+
+
+def _char_ngrams(col, n: int = 3):
+    """Character n-gram array of a string column (padded variant not needed:
+    short strings fall back to the whole string)."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    length = F.length(padded)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(length - (n - 1), F.lit(1))),
+        lambda i: padded.substr(i, F.lit(n)),
+    )
+
+
+def link_edges(
+    cands: DataFrame,
+    threshold: float = DEFAULT_THRESHOLD,
+    max_block: int = DEFAULT_MAX_BLOCK,
+    prefix_len: int = 4,
+) -> DataFrame:
+    """Score blocked candidate pairs; emit edges (src_key, dst_key, score)
+    with ``src_key < dst_key`` (node key = entity_type || '|' || surface)."""
+    base = cands.select(
+        F.concat_ws("|", "entity_type", "surface").alias("key"),
+        "entity_type",
+        "surface",
+        "normalized",
+        F.array_distinct(F.split("normalized", " ")).alias("toks"),
+        F.array_distinct(_char_ngrams(F.col("normalized"))).alias("grams"),
+    )
+
+    prefix_block = base.withColumn(
+        "block", F.concat_ws("#", "entity_type", F.substring("normalized", 1, prefix_len))
+    )
+    token_block = base.withColumn("tok", F.explode("toks")).withColumn(
+        "block", F.concat_ws("#", "entity_type", F.lit("t"), "tok")
+    ).drop("tok")
+    blocked = prefix_block.unionByName(token_block)
+
+    # drop degenerate blocks (pair explosion guard)
+    sizes = blocked.groupBy("block").agg(F.count("*").alias("bn"))
+    blocked = blocked.join(
+        sizes.where(F.col("bn") <= max_block).select("block"), "block"
+    )
+
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.block") == F.col("b.block"),
+                F.col("a.key") < F.col("b.key"),
+            ],
+        )
+        .where(F.col("a.entity_type") == F.col("b.entity_type"))
+        .select(
+            F.col("a.key").alias("src_key"),
+            F.col("b.key").alias("dst_key"),
+            F.col("a.toks").alias("toks_a"),
+            F.col("b.toks").alias("toks_b"),
+            F.col("a.grams").alias("grams_a"),
+            F.col("b.grams").alias("grams_b"),
+            F.col("a.normalized").alias("norm_a"),
+            F.col("b.normalized").alias("norm_b"),
+        )
+        .dropDuplicates(["src_key", "dst_key"])
+    )
+
+    tok_inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    tok_union = F.size(F.array_union("toks_a", "toks_b"))
+    gram_inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    gram_union = F.size(F.array_union("grams_a", "grams_b"))
+    scored = pairs.select(
+        "src_key",
+        "dst_key",
+        F.greatest(
+            tok_inter / F.greatest(tok_union, F.lit(1)),
+            gram_inter / F.greatest(gram_union, F.lit(1)),
+            # exact normalized equality always links (case/punct variants)
+            F.when(F.col("norm_a") == F.col("norm_b"), F.lit(1.0)).otherwise(0.0),
+        ).alias("score"),
+    )
+    return scored.where(F.col("score") >= threshold)
