@@ -1,0 +1,835 @@
+"""Driver-contract queries: every SURVEY.md SS2 operator exercised over the
+shared /root/testdata tables, each with an ANSI-SQL DuckDB oracle where the
+semantics are SQL-expressible (the driver hash-compares results at sf0.01).
+
+The NER/KG pipeline's learned stage (Viterbi) is not SQL-expressible, so
+the inventory is split:
+
+* counting/aggregation operators (A1-A5), evaluation (A9), mention
+  assembly (K3), relation templating (K4), edge aggregation (K8), dedup,
+  similarity search, and text analysis run against the ``documents`` /
+  ``embeddings`` / TPC-H-ish tables with exact SQL oracles. Mention
+  assembly uses a *dictionary tagging* of the closed testdata vocabulary so
+  that the Spark span kernel can be checked against a pure-SQL
+  gaps-and-islands oracle.
+* HMM train+decode (W1, A6-A7) is exposed as a rows-only query
+  (``hmm_decode_dict``); its real correctness gate is the bit-match test
+  suite against the reference implementation.
+
+Determinism rules for oracle parity (driver hashes values): no
+float-accumulation queries -- sums happen over integers (quantized cents /
+fixed-point embeddings), divisions are single IEEE ops on identical
+integers, so Spark and DuckDB produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---- dictionary tagging of the closed testdata vocabulary ----
+OP_WORDS = ["agg", "filter", "group", "hash", "join", "merge", "query", "scan", "sort"]
+OBJ_WORDS = [
+    "batch", "column", "customer", "data", "key", "line", "order", "part",
+    "row", "stream", "table", "value", "vector", "window",
+]
+# a deliberately weaker dictionary: the "model under evaluation" for A9
+OP_COARSE = ["filter", "group", "hash", "join", "merge", "scan", "sort"]
+OBJ_COARSE = ["batch", "column", "customer", "data", "key", "line", "order", "part", "row", "table", "value"]
+STOPWORDS = ["the", "a", "big", "small", "fast", "slow"]
+
+N_SHINGLE = 5
+N_MINHASH = 12
+BAND_SIZE = 3
+JACCARD_THRESHOLD = 0.7
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).withColumn("toks", F.split("text", " "))
+
+
+def _dict_class(col, op=OP_WORDS, obj=OBJ_WORDS):
+    return (
+        F.when(col.isin(op), "OP").when(col.isin(obj), "OBJ").otherwise("O")
+    )
+
+
+# =====================================================================
+# A1-A5: counting aggregations (model-estimation core)
+# =====================================================================
+
+def q_word_count(spark, sf_dir):
+    return (
+        _toks(spark, sf_dir)
+        .select(F.explode("toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_WORD_COUNT = """
+SELECT tok AS word, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok
+"""
+
+
+def q_initial_token_count(spark, sf_dir):
+    return (
+        _toks(spark, sf_dir)
+        .select(F.element_at("toks", 1).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_INITIAL_TOKEN_COUNT = """
+SELECT string_split(text, ' ')[1] AS word, count(*) AS cnt
+FROM documents GROUP BY 1
+"""
+
+
+def q_transition_count(spark, sf_dir):
+    t = _toks(spark, sf_dir)
+    n = F.size("toks")
+    return (
+        t.where(n >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, n - 1).alias("prev"),
+                    F.slice(F.col("toks"), F.lit(2), n - 1).alias("curr"),
+                )
+            ).alias("pc")
+        )
+        .select(F.col("pc.prev").alias("prev"), F.col("pc.curr").alias("curr"))
+        .groupBy("prev", "curr")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_TRANSITION_COUNT = """
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+p AS (SELECT unnest(generate_series(1, len(toks) - 1)) AS i, toks FROM t)
+SELECT toks[i] AS prev, toks[i + 1] AS curr, count(*) AS cnt
+FROM p GROUP BY 1, 2
+"""
+
+
+def q_emission_count(spark, sf_dir):
+    return (
+        _toks(spark, sf_dir)
+        .select(F.explode("toks").alias("word"))
+        .select(_dict_class(F.col("word")).alias("tag"), "word")
+        .groupBy("tag", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_EMISSION_COUNT = f"""
+SELECT CASE WHEN tok IN ({_sql_list(OP_WORDS)}) THEN 'OP'
+            WHEN tok IN ({_sql_list(OBJ_WORDS)}) THEN 'OBJ'
+            ELSE 'O' END AS tag,
+       tok AS word, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# K3: mention assembly (span runs) -- Spark span kernel vs SQL islands
+# =====================================================================
+
+def q_dict_mentions(spark, sf_dir):
+    from ..operators.mentions import extract_mentions
+
+    tagged = _toks(spark, sf_dir).select(
+        "doc_id",
+        F.col("toks").alias("tokens"),
+        F.transform(
+            "toks",
+            lambda w: F.when(w.isin(OP_WORDS), "I-OP")
+            .when(w.isin(OBJ_WORDS), "I-OBJ")
+            .otherwise("O"),
+        ).alias("tags_pred"),
+    )
+    return extract_mentions(tagged, key_cols=("doc_id",)).select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "entity_type",
+        "surface",
+    )
+
+
+SQL_DICT_MENTIONS = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM t),
+cls AS (
+  SELECT doc_id, i, toks[i] AS word,
+    CASE WHEN toks[i] IN ({_sql_list(OP_WORDS)}) THEN 'OP'
+         WHEN toks[i] IN ({_sql_list(OBJ_WORDS)}) THEN 'OBJ'
+         ELSE 'O' END AS c
+  FROM tok),
+isl AS (
+  SELECT *, i - row_number() OVER (PARTITION BY doc_id, c ORDER BY i) AS grp
+  FROM cls WHERE c <> 'O')
+SELECT doc_id, min(i) - 1 AS span_start, max(i) AS span_end,
+       c AS entity_type, string_agg(word, ' ' ORDER BY i) AS surface
+FROM isl GROUP BY doc_id, c, grp
+"""
+
+# =====================================================================
+# K4/K8: relation templating on adjacent spans + edge aggregation
+# =====================================================================
+
+def q_dict_triples(spark, sf_dir):
+    m = q_dict_mentions(spark, sf_dir)
+    a, b = m.alias("a"), m.alias("b")
+    pred = (
+        F.when(
+            (F.col("a.entity_type") == "OP") & (F.col("b.entity_type") == "OBJ"),
+            "operates_on",
+        )
+        .when(
+            (F.col("a.entity_type") == "OBJ") & (F.col("b.entity_type") == "OP"),
+            "feeds",
+        )
+    )
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.doc_id") == F.col("b.doc_id"),
+                F.col("a.span_end") == F.col("b.span_start"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.span_start").alias("span_start"),
+            F.col("a.surface").alias("subj"),
+            pred.alias("pred"),
+            F.col("b.surface").alias("obj"),
+        )
+    )
+
+
+_SQL_MENTIONS_INNER = f"""
+  WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  tok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM t),
+  cls AS (
+    SELECT doc_id, i, toks[i] AS word,
+      CASE WHEN toks[i] IN ({_sql_list(OP_WORDS)}) THEN 'OP'
+           WHEN toks[i] IN ({_sql_list(OBJ_WORDS)}) THEN 'OBJ'
+           ELSE 'O' END AS c
+    FROM tok),
+  isl AS (
+    SELECT *, i - row_number() OVER (PARTITION BY doc_id, c ORDER BY i) AS grp
+    FROM cls WHERE c <> 'O'),
+  men AS (
+    SELECT doc_id, min(i) - 1 AS span_start, max(i) AS span_end,
+           c AS entity_type, string_agg(word, ' ' ORDER BY i) AS surface
+    FROM isl GROUP BY doc_id, c, grp)
+"""
+
+SQL_DICT_TRIPLES = (
+    _SQL_MENTIONS_INNER
+    + """
+SELECT a.doc_id AS doc_id, a.span_start AS span_start, a.surface AS subj,
+       CASE WHEN a.entity_type = 'OP' AND b.entity_type = 'OBJ' THEN 'operates_on'
+            WHEN a.entity_type = 'OBJ' AND b.entity_type = 'OP' THEN 'feeds' END AS pred,
+       b.surface AS obj
+FROM men a JOIN men b
+  ON a.doc_id = b.doc_id AND a.span_end = b.span_start
+"""
+)
+
+
+def q_edge_weights(spark, sf_dir):
+    return (
+        q_dict_triples(spark, sf_dir)
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+
+
+SQL_EDGE_WEIGHTS = (
+    _SQL_MENTIONS_INNER
+    + """
+, tri AS (
+  SELECT a.surface AS subj,
+         CASE WHEN a.entity_type = 'OP' AND b.entity_type = 'OBJ' THEN 'operates_on'
+              WHEN a.entity_type = 'OBJ' AND b.entity_type = 'OP' THEN 'feeds' END AS pred,
+         b.surface AS obj
+  FROM men a JOIN men b ON a.doc_id = b.doc_id AND a.span_end = b.span_start)
+SELECT subj, pred, obj, CAST(count(*) AS DOUBLE) AS weight
+FROM tri GROUP BY 1, 2, 3
+"""
+)
+
+
+# =====================================================================
+# A9: token-level P/R/F1 evaluation (check.py semantics, labels != O)
+# =====================================================================
+
+def q_eval_prf(spark, sf_dir):
+    toks = _toks(spark, sf_dir).select(F.explode("toks").alias("word"))
+    scored = toks.select(
+        _dict_class(F.col("word")).alias("gold"),
+        _dict_class(F.col("word"), OP_COARSE, OBJ_COARSE).alias("pred"),
+    )
+    out = []
+    for label in ("OP", "OBJ"):
+        g, p = F.col("gold") == label, F.col("pred") == label
+        out.append(
+            scored.agg(
+                F.lit(label).alias("label"),
+                F.sum((g & p).cast("long")).alias("tp"),
+                F.sum((~g & p).cast("long")).alias("fp"),
+                F.sum((g & ~p).cast("long")).alias("fn"),
+            )
+        )
+    res = out[0].unionByName(out[1])
+    prec = F.col("tp") / (F.col("tp") + F.col("fp"))
+    rec = F.col("tp") / (F.col("tp") + F.col("fn"))
+    return res.select(
+        "label", "tp", "fp", "fn",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        (2 * prec * rec / (prec + rec)).alias("f1"),
+    )
+
+
+SQL_EVAL_PRF = f"""
+WITH scored AS (
+  SELECT CASE WHEN tok IN ({_sql_list(OP_WORDS)}) THEN 'OP'
+              WHEN tok IN ({_sql_list(OBJ_WORDS)}) THEN 'OBJ' ELSE 'O' END AS gold,
+         CASE WHEN tok IN ({_sql_list(OP_COARSE)}) THEN 'OP'
+              WHEN tok IN ({_sql_list(OBJ_COARSE)}) THEN 'OBJ' ELSE 'O' END AS pred
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+counts AS (
+  SELECT l.label,
+         sum(CASE WHEN gold = l.label AND pred = l.label THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN gold <> l.label AND pred = l.label THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN gold = l.label AND pred <> l.label THEN 1 ELSE 0 END) AS fn
+  FROM scored, (SELECT unnest(['OP', 'OBJ']) AS label) l
+  GROUP BY l.label)
+SELECT label, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+       CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+       CAST(tp AS DOUBLE) / (tp + fn) AS recall,
+       2 * (CAST(tp AS DOUBLE) / (tp + fp)) * (CAST(tp AS DOUBLE) / (tp + fn))
+         / ((CAST(tp AS DOUBLE) / (tp + fp)) + (CAST(tp AS DOUBLE) / (tp + fn))) AS f1
+FROM counts
+"""
+
+
+# =====================================================================
+# Dedup: exact + minhash-LSH-blocked shingle Jaccard
+# =====================================================================
+
+def q_dedup_exact(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("text_md5"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def _shingles(spark, sf_dir):
+    t = _toks(spark, sf_dir)
+    n = F.size("toks")
+    return t.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - (N_SHINGLE - 1), F.lit(1))),
+                lambda i: F.array_join(
+                    F.slice(F.col("toks"), i, F.lit(N_SHINGLE)), " "
+                ),
+            )
+        ).alias("shingles"),
+    )
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """Near-duplicate pairs: MinHash-LSH banding for candidate generation,
+    exact shingle-set Jaccard (>= 0.7) for confirmation."""
+    sh = _shingles(spark, sf_dir).persist()
+    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    minhashes = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")).cast("binary"))).alias(f"h{j}")
+            for j in range(N_MINHASH)
+        ]
+    )
+    bands = minhashes.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat(
+                                *[F.col(f"h{b * BAND_SIZE + k}") for k in range(BAND_SIZE)]
+                            ).cast("binary")
+                        ).alias("bh"),
+                    )
+                    for b in range(N_MINHASH // BAND_SIZE)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bh") == F.col("b.bh"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - {N_SHINGLE - 1}, 1))) AS i, toks FROM t),
+sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i + {N_SHINGLE - 1}], ' ') AS sh FROM pos),
+mh AS (
+  SELECT doc_id,
+         {', '.join(f"min(md5('{j}:' || sh)) AS h{j}" for j in range(N_MINHASH))}
+  FROM sh GROUP BY doc_id),
+bands AS (
+  {' UNION ALL '.join(
+      "SELECT doc_id, %d AS band, md5(h%d || h%d || h%d) AS bh FROM mh"
+      % (b, b * BAND_SIZE, b * BAND_SIZE + 1, b * BAND_SIZE + 2)
+      for b in range(N_MINHASH // BAND_SIZE)
+  )}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+ssize AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ni
+  FROM cands c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+  GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.ni AS DOUBLE) / CAST(na.n + nb.n - i.ni AS DOUBLE) AS jaccard
+FROM inter i
+JOIN ssize na ON na.doc_id = i.doc_a
+JOIN ssize nb ON nb.doc_id = i.doc_b
+WHERE CAST(i.ni AS DOUBLE) / CAST(na.n + nb.n - i.ni AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
+
+
+# =====================================================================
+# Similarity search: fixed-point quantized cosine top-k (deterministic)
+# =====================================================================
+
+N_QUERY_VECS = 8
+TOP_K = 10
+
+
+def q_sim_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+    base = emb.select("vec_id", qvec.alias("q"))
+    dot_self = F.aggregate(
+        F.zip_with("q", "q", lambda u, v: u * v), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    base = base.withColumn("nrm", dot_self)
+    queries = base.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = F.broadcast(queries).crossJoin(
+        base.select(F.col("vec_id").alias("neighbor_id"), "q", "nrm")
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    dot = F.aggregate(
+        F.zip_with("qq", "q", lambda u, v: u * v), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (
+            (dot * F.abs(dot)).cast("double") / (F.col("qn") * F.col("nrm")).cast("double")
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+SQL_SIM_TOPK = f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings),
+nrm AS (
+  SELECT vec_id, qv,
+         (SELECT sum(qv[i] * qv[i]) FROM unnest(generate_series(1, len(qv))) AS t(i)) AS n
+  FROM q),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         (SELECT sum(a.qv[i] * b.qv[i]) FROM unnest(generate_series(1, len(a.qv))) AS t(i)) AS dot,
+         a.n AS qn, b.n AS nn
+  FROM nrm a JOIN nrm b ON a.vec_id < {N_QUERY_VECS} AND a.vec_id <> b.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot * abs(dot) AS DOUBLE) / CAST(qn * nn AS DOUBLE) AS sim
+  FROM pairs),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# =====================================================================
+# Text analysis: per-document stats + corpus language distribution
+# =====================================================================
+
+def q_textstats(spark, sf_dir):
+    t = _toks(spark, sf_dir)
+    n_tok = F.size("toks")
+    n_stop = F.size(F.filter("toks", lambda w: w.isin(STOPWORDS)))
+    total_chars = F.aggregate(
+        "toks", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    return t.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        n_stop.cast("long").alias("n_stopwords"),
+        (n_stop.cast("double") / n_tok.cast("double")).alias("stop_ratio"),
+        (total_chars.cast("double") / n_tok.cast("double")).alias("avg_token_len"),
+    )
+
+
+SQL_TEXTSTATS = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+x AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         len(list_filter(toks, w -> w IN ({_sql_list(STOPWORDS)}))) AS n_stopwords,
+         (SELECT sum(strlen(toks[i])) FROM unnest(generate_series(1, len(toks))) AS u(i)) AS total_chars
+  FROM t)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(n_stopwords AS BIGINT) AS n_stopwords,
+       CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+       CAST(total_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len
+FROM x
+"""
+
+
+def q_lang_distribution(spark, sf_dir):
+    return _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("cnt"))
+
+
+SQL_LANG_DISTRIBUTION = "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang"
+
+
+# =====================================================================
+# Relational coverage: aggregation / join / window over TPC-H-ish tables
+# =====================================================================
+
+def q_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_price_cents"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("sum_disc_price_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    totals = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"))
+    )
+    joined = totals.join(c, totals["o_custkey"] == c["c_custkey"]).join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    )
+    w = Window.orderBy(F.desc("total_cents"), F.col("c_custkey"))
+    return (
+        joined.select("c_custkey", "c_name", F.col("n_name").alias("nation"), "total_cents")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+WITH totals AS (
+  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM orders GROUP BY o_custkey),
+j AS (
+  SELECT c.c_custkey, c.c_name, n.n_name AS nation, t.total_cents
+  FROM totals t JOIN customer c ON t.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY total_cents DESC, c_custkey) AS rank FROM j)
+SELECT c_custkey, c_name, nation, total_cents, rank FROM r WHERE rank <= 10
+"""
+
+
+SESSION_GAP_MIN = 30
+
+
+def q_sessionize(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session TZ is pinned to UTC so epoch seconds
+    # agree with DuckDB's epoch() on the naive value.
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    flagged = ev.withColumn(
+        "new_session",
+        (epoch - F.lag(epoch, 1).over(w) > SESSION_GAP_MIN * 60).cast("int"),
+    ).withColumn("new_session", F.coalesce("new_session", F.lit(1)))
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_MIN * 60}
+              THEN 1
+              WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+              ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
+def q_hourly_event_counts(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_HOURLY_EVENT_COUNTS = """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt
+FROM events GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# Rows-only queries (not SQL-expressible: iterative / learned)
+# =====================================================================
+
+def q_hmm_decode_dict(spark, sf_dir):
+    """Full HMM train+decode loop as a query: train on dictionary-tagged
+    documents with doc_id % 5 != 0, decode the held-out 20%. Rows-only
+    check; the bit-match suite is the real gate for decode correctness."""
+    from ..operators.hmm import decode_hmm, train_hmm
+
+    tagged = _toks(spark, sf_dir).select(
+        "doc_id",
+        F.col("doc_id").alias("sent_id"),
+        F.col("toks").alias("tokens"),
+        F.transform(
+            "toks",
+            lambda w: F.when(w.isin(OP_WORDS), "B-OP")
+            .when(w.isin(OBJ_WORDS), "B-OBJ")
+            .otherwise("O"),
+        ).alias("tags"),
+    )
+    model = train_hmm(tagged.where(F.col("doc_id") % 5 != 0).drop("doc_id"))
+    test = tagged.where(F.col("doc_id") % 5 == 0).select("doc_id", "tokens")
+    decoded = decode_hmm(test, model)
+    return decoded.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip(F.col("tokens").alias("word"), F.col("tags_pred").alias("tag"))).alias("pos", "wt"),
+    ).select("doc_id", "pos", F.col("wt.word").alias("word"), F.col("wt.tag").alias("tag"))
+
+
+def q_kg_pipeline(spark, sf_dir):
+    """Flagship: the full KG pipeline over documents-as-transcripts.
+    Rows-only (Viterbi inside). Returns the aggregated edge table."""
+    from ..operators.graph import build_graph
+    from ..operators.hmm import decode_hmm, train_hmm
+    from ..operators.mentions import extract_mentions
+    from ..operators.relations import template_triples
+
+    docs = _toks(spark, sf_dir)
+    turns = docs.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 3 == 0, "user")
+        .when(F.col("doc_id") % 3 == 1, "assistant")
+        .otherwise("tool")
+        .alias("role"),
+        F.when(F.col("doc_id") % 3 == 2, F.lit("search")).alias("tool"),
+        F.col("toks").alias("tokens"),
+        F.transform(
+            "toks",
+            lambda w: F.when(w.isin(OP_WORDS), "B-OP")
+            .when(w.isin(OBJ_WORDS), "B-OBJ")
+            .otherwise("O"),
+        ).alias("tags"),
+    )
+    model = train_hmm(
+        turns.where(F.col("turn_idx") % 5 != 0).select(
+            F.col("conv_id").alias("doc_id"),
+            F.col("turn_idx").cast("long").alias("sent_id"),
+            "tokens",
+            "tags",
+        )
+    )
+    test = turns.where(F.col("turn_idx") % 5 == 0).drop("tags")
+    decoded = decode_hmm(test, model)
+    mentions = extract_mentions(decoded)
+    # map OP/OBJ through generic rules: reuse KG templating via adjacency
+    triples = (
+        mentions.alias("a")
+        .join(
+            mentions.alias("b"),
+            on=[
+                F.col("a.conv_id") == F.col("b.conv_id"),
+                F.col("a.turn_idx") == F.col("b.turn_idx"),
+                F.col("a.span_end") == F.col("b.span_start"),
+            ],
+        )
+        .select(
+            F.col("a.surface").alias("subj"),
+            F.when(
+                (F.col("a.entity_type") == "OP") & (F.col("b.entity_type") == "OBJ"),
+                "operates_on",
+            )
+            .when(
+                (F.col("a.entity_type") == "OBJ") & (F.col("b.entity_type") == "OP"),
+                "feeds",
+            )
+            .otherwise("adjacent_to")
+            .alias("pred"),
+            F.col("b.surface").alias("obj"),
+            F.col("a.entity_type").alias("subj_type"),
+            F.col("b.entity_type").alias("obj_type"),
+            F.col("a.conv_id").alias("conv_id"),
+            F.col("a.turn_idx").alias("turn_idx"),
+        )
+    )
+    _, edges = build_graph(mentions, triples)
+    return edges.select("src", "pred", "dst", "weight")
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+
+QUERIES = {
+    "word_count": q_word_count,
+    "initial_token_count": q_initial_token_count,
+    "transition_count": q_transition_count,
+    "emission_count": q_emission_count,
+    "dict_mentions": q_dict_mentions,
+    "dict_triples": q_dict_triples,
+    "edge_weights": q_edge_weights,
+    "eval_prf": q_eval_prf,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "sim_topk": q_sim_topk,
+    "textstats": q_textstats,
+    "lang_distribution": q_lang_distribution,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "sessionize": q_sessionize,
+    "hourly_event_counts": q_hourly_event_counts,
+    "hmm_decode_dict": q_hmm_decode_dict,
+    "kg_pipeline": q_kg_pipeline,
+}
+
+ORACLES = {
+    "word_count": SQL_WORD_COUNT,
+    "initial_token_count": SQL_INITIAL_TOKEN_COUNT,
+    "transition_count": SQL_TRANSITION_COUNT,
+    "emission_count": SQL_EMISSION_COUNT,
+    "dict_mentions": SQL_DICT_MENTIONS,
+    "dict_triples": SQL_DICT_TRIPLES,
+    "edge_weights": SQL_EDGE_WEIGHTS,
+    "eval_prf": SQL_EVAL_PRF,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "sim_topk": SQL_SIM_TOPK,
+    "textstats": SQL_TEXTSTATS,
+    "lang_distribution": SQL_LANG_DISTRIBUTION,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top_customers": SQL_TOP_CUSTOMERS,
+    "sessionize": SQL_SESSIONIZE,
+    "hourly_event_counts": SQL_HOURLY_EVENT_COUNTS,
+    # hmm_decode_dict, kg_pipeline: rows-only (Viterbi not SQL-expressible)
+}
