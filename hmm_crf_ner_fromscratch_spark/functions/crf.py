@@ -1,0 +1,363 @@
+"""Linear-chain CRF with CRF++-style feature templates: model structures,
+vectorized float32 Viterbi decode, and a pure-Python oracle decoder.
+
+Semantics reproduced from the reference (``crf_ner.py``), re-expressed --
+not transcribed -- for NumPy + Spark:
+
+* 21 hardcoded templates (``crf_ner.py:16-40``): 10 unigram rules
+  U00..U09, 10 observation-dependent bigram rules B00..B09 (same offset
+  specs), one pure transition rule "B".
+* feature keys (``crf_ner.py:133-147``): ``"{prefix}:{obs}_{tag}"`` for U,
+  ``"{prefix}:{obs}_{prev}_{cur}"`` for B_obs, ``"B:{prev}_{cur}"`` for
+  B_pure; obs = words at the rule's offsets joined by "/", out-of-range
+  offsets read "BOS"/"EOS" (``crf_ner.py:120-128``).
+* decode DP (``crf_ner.py:371-512``): potentials[k,j] = sum of B_obs rule
+  weights (in template order) + B_pure[k,j], then + U_vec[j]; explicit
+  START features at t=0 and STOP transition at termination; ``torch.max``
+  = first-index argmax; float32 arithmetic throughout (weights are float32,
+  ``crf_ner.py:602``). Our accumulation follows the same per-cell order,
+  so results are bit-identical to a float32 re-execution of the reference.
+* determinism fix (SURVEY SS1.3): the reference's tag order comes from
+  ``list(tag_set)`` (unstable); we pin first-occurrence order.
+
+The model keeps a *structured* registry (feature -> (rule, obs, prev,
+cur, tag) fields) rather than only the flat string dict, so decode-time
+lookups are prebuilt into per-(rule, obs) weight vectors / sparse blocks
+without re-parsing key strings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+START_TAG = "<START>"
+STOP_TAG = "<STOP>"
+
+# (prefix, offsets) in template order -- crf_ner.py:16-40
+U_TEMPLATES: list[tuple[str, tuple[int, ...]]] = [
+    ("U00", (-2,)), ("U01", (-1,)), ("U02", (0,)), ("U03", (1,)), ("U04", (2,)),
+    ("U05", (-2, -1)), ("U06", (-1, 0)), ("U07", (-1, 1)), ("U08", (0, 1)),
+    ("U09", (1, 2)),
+]
+B_TEMPLATES: list[tuple[str, tuple[int, ...]]] = [
+    ("B00", (-2,)), ("B01", (-1,)), ("B02", (0,)), ("B03", (1,)), ("B04", (2,)),
+    ("B05", (-2, -1)), ("B06", (-1, 0)), ("B07", (-1, 1)), ("B08", (0, 1)),
+    ("B09", (1, 2)),
+]
+
+
+def word_at(words: list[str], idx: int) -> str:
+    """BOS/EOS-padded positional read (crf_ner.py:120-128)."""
+    if 0 <= idx < len(words):
+        return words[idx]
+    return "BOS" if idx < 0 else "EOS"
+
+
+def obs_string(words: list[str], pos: int, offsets: tuple[int, ...]) -> str:
+    return "/".join(word_at(words, pos + o) for o in offsets)
+
+
+@dataclass
+class CRFModel:
+    """Driver-side CRF artifact.
+
+    ``features`` is the structured registry: parallel lists over feature id
+    of (kind, rule_idx, obs, prev_tag, cur_tag); kind 'U' uses (rule, obs,
+    cur), 'BO' uses (rule, obs, prev, cur), 'BP' uses (prev, cur).
+    ``weights`` is float32 (crf_ner.py:602).
+    """
+
+    tags: list[str]  # actual tags, pinned first-occurrence order
+    feature_index: dict[str, int]
+    kinds: list[str]
+    rule_idxs: list[int]
+    obss: list[str]
+    prevs: list[str]
+    curs: list[str]
+    weights: np.ndarray = field(default=None)
+
+    def __post_init__(self):
+        if self.weights is None:
+            self.weights = np.zeros(len(self.feature_index), dtype=np.float32)
+        self.weights = np.asarray(self.weights, dtype=np.float32)
+
+    @property
+    def n_features(self) -> int:
+        return len(self.feature_index)
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, "weights.npy"), self.weights)
+        meta = {
+            "tags": self.tags,
+            "feature_index": self.feature_index,
+            "kinds": self.kinds,
+            "rule_idxs": self.rule_idxs,
+            "obss": self.obss,
+            "prevs": self.prevs,
+            "curs": self.curs,
+        }
+        with open(os.path.join(path, "meta.json"), "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, path: str) -> "CRFModel":
+        with open(os.path.join(path, "meta.json"), encoding="utf-8") as f:
+            meta = json.load(f)
+        return cls(weights=np.load(os.path.join(path, "weights.npy")), **meta)
+
+
+def build_feature_key(kind, rule_idx, obs, prev, cur) -> str:
+    """Reference-format flat key (crf_ner.py:133-147)."""
+    if kind == "U":
+        return f"{U_TEMPLATES[rule_idx][0]}:{obs}_{cur}"
+    if kind == "BO":
+        return f"{B_TEMPLATES[rule_idx][0]}:{obs}_{prev}_{cur}"
+    return f"B:{prev}_{cur}"
+
+
+class DecodeTables:
+    """Per-(rule, obs) lookup tables prebuilt from a CRFModel for fast
+    vectorized decode; mirrors the reference's accumulation structure."""
+
+    def __init__(self, model: CRFModel):
+        K = len(model.tags)
+        self.K = K
+        self.tags = model.tags
+        tag_idx = {t: i for i, t in enumerate(model.tags)}
+        w = model.weights
+
+        # U: (rule, obs) -> float32 vector over actual tags; STOP handled
+        # as a separate scalar map (rule, obs) -> w.
+        self.u_vec: dict[tuple[int, str], np.ndarray] = {}
+        self.u_stop: dict[tuple[int, str], np.float32] = {}
+        # B_obs: (rule, obs) -> list of (prev_idx, cur_idx, w) arrays over
+        # actual x actual; START-row and STOP-column kept separately.
+        self.bo_cells: dict[tuple[int, str], list] = {}
+        self.bo_start: dict[tuple[int, str], np.ndarray] = {}  # vector over cur
+        self.bo_stop: dict[tuple[int, str], np.ndarray] = {}  # vector over prev
+        # B_pure dense blocks.
+        self.bp = np.zeros((K, K), dtype=np.float32)
+        self.bp_start = np.zeros(K, dtype=np.float32)  # START -> cur
+        self.bp_stop = np.zeros(K, dtype=np.float32)  # prev -> STOP
+
+        for fid in range(model.n_features):
+            kind = model.kinds[fid]
+            weight = w[fid]
+            if kind == "U":
+                key = (model.rule_idxs[fid], model.obss[fid])
+                cur = model.curs[fid]
+                if cur == STOP_TAG:
+                    self.u_stop[key] = self.u_stop.get(key, np.float32(0.0)) + weight
+                elif cur in tag_idx:
+                    vec = self.u_vec.get(key)
+                    if vec is None:
+                        vec = np.zeros(K, dtype=np.float32)
+                        self.u_vec[key] = vec
+                    vec[tag_idx[cur]] += weight
+            elif kind == "BO":
+                key = (model.rule_idxs[fid], model.obss[fid])
+                prev, cur = model.prevs[fid], model.curs[fid]
+                if prev == START_TAG and cur in tag_idx:
+                    vec = self.bo_start.get(key)
+                    if vec is None:
+                        vec = np.zeros(K, dtype=np.float32)
+                        self.bo_start[key] = vec
+                    vec[tag_idx[cur]] += weight
+                elif cur == STOP_TAG and prev in tag_idx:
+                    vec = self.bo_stop.get(key)
+                    if vec is None:
+                        vec = np.zeros(K, dtype=np.float32)
+                        self.bo_stop[key] = vec
+                    vec[tag_idx[prev]] += weight
+                elif prev in tag_idx and cur in tag_idx:
+                    self.bo_cells.setdefault(key, []).append(
+                        (tag_idx[prev], tag_idx[cur], weight)
+                    )
+            else:  # BP
+                prev, cur = model.prevs[fid], model.curs[fid]
+                if prev == START_TAG and cur in tag_idx:
+                    self.bp_start[tag_idx[cur]] += weight
+                elif cur == STOP_TAG and prev in tag_idx:
+                    self.bp_stop[tag_idx[prev]] += weight
+                elif prev in tag_idx and cur in tag_idx:
+                    self.bp[tag_idx[prev], tag_idx[cur]] += weight
+
+    # -- per-position builders (all float32, reference accumulation order) --
+
+    def u_at(self, words, pos) -> np.ndarray:
+        v = np.zeros(self.K, dtype=np.float32)
+        for r, (_, offs) in enumerate(U_TEMPLATES):
+            vec = self.u_vec.get((r, obs_string(words, pos, offs)))
+            if vec is not None:
+                v += vec
+        return v
+
+    def u_stop_at(self, words, pos) -> np.float32:
+        s = np.float32(0.0)
+        for r, (_, offs) in enumerate(U_TEMPLATES):
+            x = self.u_stop.get((r, obs_string(words, pos, offs)))
+            if x is not None:
+                s += x
+        return s
+
+    def start_scores(self, words) -> np.ndarray:
+        """dp[0]: U at pos 0 + B_obs(START->cur) + B_pure(START->cur),
+        matching crf_ner.py:396-424 accumulation order."""
+        v = self.u_at(words, 0).copy()
+        for r, (_, offs) in enumerate(B_TEMPLATES):
+            vec = self.bo_start.get((r, obs_string(words, 0, offs)))
+            if vec is not None:
+                v += vec
+        v += self.bp_start
+        return v
+
+    def potentials_at(self, words, pos) -> np.ndarray:
+        """(K, K) transition potentials at position pos >= 1 plus the U
+        broadcast, matching crf_ner.py:427-458."""
+        trans = np.zeros((self.K, self.K), dtype=np.float32)
+        for r, (_, offs) in enumerate(B_TEMPLATES):
+            cells = self.bo_cells.get((r, obs_string(words, pos, offs)))
+            if cells:
+                for pi, ci, wt in cells:
+                    trans[pi, ci] += wt
+        trans += self.bp
+        return trans + self.u_at(words, pos)[None, :]
+
+    def stop_scores(self, words) -> np.ndarray:
+        """Transition-to-STOP vector at pos = len(words)
+        (crf_ner.py:469-496)."""
+        T = len(words)
+        v = np.zeros(self.K, dtype=np.float32)
+        for r, (_, offs) in enumerate(B_TEMPLATES):
+            vec = self.bo_stop.get((r, obs_string(words, T, offs)))
+            if vec is not None:
+                v += vec
+        v += self.bp_stop
+        v += self.u_stop_at(words, T)
+        return v
+
+
+def viterbi_decode_crf(words: list[str], tables: DecodeTables) -> list[str]:
+    """Vectorized float32 Viterbi; bit-matches the reference decode math."""
+    K = tables.K
+    T = len(words)
+    if T == 0 or K == 0:
+        return []
+    bp = np.zeros((T, K), dtype=np.int64)
+    dp = tables.start_scores(words)
+    for t in range(1, T):
+        combined = dp[:, None] + tables.potentials_at(words, t)
+        bp[t] = np.argmax(combined, axis=0)
+        dp = combined[bp[t], np.arange(K)]
+    final = dp + tables.stop_scores(words)
+    path = np.zeros(T, dtype=np.int64)
+    path[T - 1] = int(np.argmax(final))
+    for t in range(T - 2, -1, -1):
+        path[t] = bp[t + 1][path[t + 1]]
+    return [tables.tags[i] for i in path]
+
+
+# ---------------------------------------------------------------------
+# Pure-Python oracle decoder (test-only): dict lookups on flat string
+# keys, float32 scalar arithmetic, structured exactly like the reference
+# decode loop (crf_ner.py:371-512). Independent of DecodeTables.
+# ---------------------------------------------------------------------
+
+def oracle_decode(
+    words: list[str],
+    weights: np.ndarray,
+    feature_index: dict[str, int],
+    tags: list[str],
+) -> list[str]:
+    f32 = np.float32
+    K, T = len(tags), len(words)
+    if T == 0 or K == 0:
+        return []
+    w = np.asarray(weights, dtype=np.float32)
+
+    def lookup(key):
+        fid = feature_index.get(key)
+        return w[fid] if fid is not None else None
+
+    def u_scores(pos, tag_list):
+        out = [f32(0.0)] * len(tag_list)
+        for prefix, offs in U_TEMPLATES:
+            obs = obs_string(words, pos, offs)
+            for j, tag in enumerate(tag_list):
+                x = lookup(f"{prefix}:{obs}_{tag}")
+                if x is not None:
+                    out[j] = out[j] + x
+        return out
+
+    # init
+    dp = u_scores(0, tags)
+    for prefix, offs in B_TEMPLATES:
+        obs = obs_string(words, 0, offs)
+        for j, tag in enumerate(tags):
+            x = lookup(f"{prefix}:{obs}_{START_TAG}_{tag}")
+            if x is not None:
+                dp[j] = dp[j] + x
+    for j, tag in enumerate(tags):
+        x = lookup(f"B:{START_TAG}_{tag}")
+        if x is not None:
+            dp[j] = dp[j] + x
+
+    bp = [[0] * K for _ in range(T)]
+    for t in range(1, T):
+        trans = [[f32(0.0)] * K for _ in range(K)]
+        for prefix, offs in B_TEMPLATES:
+            obs = obs_string(words, t, offs)
+            for k, ptag in enumerate(tags):
+                for j, ctag in enumerate(tags):
+                    x = lookup(f"{prefix}:{obs}_{ptag}_{ctag}")
+                    if x is not None:
+                        trans[k][j] = trans[k][j] + x
+        for k, ptag in enumerate(tags):
+            for j, ctag in enumerate(tags):
+                x = lookup(f"B:{ptag}_{ctag}")
+                if x is not None:
+                    trans[k][j] = trans[k][j] + x
+        uni = u_scores(t, tags)
+        new_dp = [f32(-np.inf)] * K
+        for j in range(K):
+            best, best_k = f32(-np.inf), 0
+            for k in range(K):
+                cur = dp[k] + (trans[k][j] + uni[j])
+                if cur > best:
+                    best, best_k = cur, k
+            new_dp[j] = best
+            bp[t][j] = best_k
+        dp = new_dp
+
+    stop = [f32(0.0)] * K
+    for prefix, offs in B_TEMPLATES:
+        obs = obs_string(words, T, offs)
+        for k, ptag in enumerate(tags):
+            x = lookup(f"{prefix}:{obs}_{ptag}_{STOP_TAG}")
+            if x is not None:
+                stop[k] = stop[k] + x
+    for k, ptag in enumerate(tags):
+        x = lookup(f"B:{ptag}_{STOP_TAG}")
+        if x is not None:
+            stop[k] = stop[k] + x
+    u_stop = f32(0.0)
+    for prefix, offs in U_TEMPLATES:
+        obs = obs_string(words, T, offs)
+        x = lookup(f"{prefix}:{obs}_{STOP_TAG}")
+        if x is not None:
+            u_stop = u_stop + x
+    best, best_j = f32(-np.inf), 0
+    for j in range(K):
+        cur = dp[j] + (stop[j] + u_stop)
+        if cur > best:
+            best, best_j = cur, j
+    path = [0] * T
+    path[T - 1] = best_j
+    for t in range(T - 2, -1, -1):
+        path[t] = bp[t + 1][path[t + 1]]
+    return [tags[i] for i in path]

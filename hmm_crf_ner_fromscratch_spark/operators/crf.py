@@ -1,0 +1,530 @@
+"""CRF operators: distributed feature-registry build (F1/F2), broadcast
+vectorized decode (W2/W3), and distributed full-batch training (A8).
+
+Registry build re-expresses the reference's gold-path scan
+(``crf_ner.py:563-587``) as DataFrame plans: one exploded token frame with
+clamped context columns (array ``element_at`` -- no per-token window, no
+extra shuffle), 21 rule projections unioned, first-encounter ordering via
+``min(struct(sent, pos, rule_order))`` + ``row_number``. The pure-B
+transition cross product (``crf_ner.py:578-587``) is appended on the
+driver (K^2 is tiny).
+
+Training semantics deviation (documented, SURVEY SS7.3): the reference does
+per-sentence SGD (``crf_ner.py:606-624``), which is inherently sequential.
+We train full-batch: each epoch one Spark job computes the exact CRF
+gradient sum_sentences (E_model[f] - f_gold) via forward-backward inside
+``mapInPandas``; the driver applies the update and re-broadcasts. The
+parity contract is decode-given-weights (bit-level, property-tested), not
+weight-trajectory equality.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.crf import (
+    B_TEMPLATES,
+    START_TAG,
+    STOP_TAG,
+    U_TEMPLATES,
+    CRFModel,
+    DecodeTables,
+    build_feature_key,
+    obs_string,
+    viterbi_decode_crf,
+)
+
+
+def _context_frame(sentences: DataFrame) -> DataFrame:
+    """Exploded token frame with clamped context word columns w_m2..w_p2,
+    prev/cur tags, and a STOP row per sentence (pos = len(tokens))."""
+    order_cols = [c for c in ("doc_id", "sent_id") if c in sentences.columns]
+    sent_key = F.struct(*[F.col(c) for c in order_cols]).alias("sent")
+    toks, tags = F.col("tokens"), F.col("tags")
+    n = F.size("tokens")
+
+    base = sentences.where(n > 0).select(
+        sent_key, "tokens", "tags", n.alias("n")
+    )
+    tok_rows = base.select(
+        "sent",
+        "tokens",
+        "tags",
+        "n",
+        F.posexplode(F.col("tokens")).alias("pos", "_w"),
+    )
+
+    def ctx(off: int):
+        p = F.col("pos") + off
+        return (
+            F.when(p < 0, "BOS")
+            .when(p >= F.col("n"), "EOS")
+            .otherwise(F.element_at(F.col("tokens"), p + 1))
+        )
+
+    body = tok_rows.select(
+        "sent",
+        "pos",
+        ctx(-2).alias("w_m2"),
+        ctx(-1).alias("w_m1"),
+        ctx(0).alias("w_0"),
+        ctx(1).alias("w_p1"),
+        ctx(2).alias("w_p2"),
+        F.when(F.col("pos") == 0, START_TAG)
+        .otherwise(F.element_at(F.col("tags"), F.col("pos")))
+        .alias("prev"),
+        F.element_at(F.col("tags"), F.col("pos") + 1).alias("cur"),
+    )
+    stop = base.select(
+        "sent",
+        F.col("n").alias("pos"),
+        F.when(F.col("n") >= 2, F.element_at("tokens", -2)).otherwise("BOS").alias("w_m2"),
+        F.element_at("tokens", -1).alias("w_m1"),
+        F.lit("EOS").alias("w_0"),
+        F.lit("EOS").alias("w_p1"),
+        F.lit("EOS").alias("w_p2"),
+        F.element_at("tags", -1).alias("prev"),
+        F.lit(STOP_TAG).alias("cur"),
+    )
+    return body.unionByName(stop)
+
+
+_OFF_COL = {-2: "w_m2", -1: "w_m1", 0: "w_0", 1: "w_p1", 2: "w_p2"}
+
+
+def _obs_col(offsets: tuple[int, ...]):
+    return F.concat_ws("/", *[F.col(_OFF_COL[o]) for o in offsets])
+
+
+def build_registry(sentences: DataFrame) -> CRFModel:
+    """F1+F2: scan gold paths once, assign feature ids in first-encounter
+    order (sent, pos, template order), then append the pure-B cross
+    product. Returns a CRFModel with zero weights."""
+    ctx = _context_frame(sentences).persist()
+
+    pieces = []
+    rule_order = 0
+    for r, (_, offs) in enumerate(U_TEMPLATES):
+        pieces.append(
+            ctx.select(
+                "sent", "pos", F.lit(rule_order).alias("ro"),
+                F.lit("U").alias("kind"), F.lit(r).alias("rule_idx"),
+                _obs_col(offs).alias("obs"), F.lit("").alias("prev"), F.col("cur"),
+            )
+        )
+        rule_order += 1
+    for r, (_, offs) in enumerate(B_TEMPLATES):
+        pieces.append(
+            ctx.select(
+                "sent", "pos", F.lit(rule_order).alias("ro"),
+                F.lit("BO").alias("kind"), F.lit(r).alias("rule_idx"),
+                _obs_col(offs).alias("obs"), F.col("prev"), F.col("cur"),
+            )
+        )
+        rule_order += 1
+    pieces.append(
+        ctx.select(
+            "sent", "pos", F.lit(rule_order).alias("ro"),
+            F.lit("BP").alias("kind"), F.lit(-1).alias("rule_idx"),
+            F.lit("").alias("obs"), F.col("prev"), F.col("cur"),
+        )
+    )
+    allf = pieces[0]
+    for p in pieces[1:]:
+        allf = allf.unionByName(p)
+
+    reg_rows = (
+        allf.groupBy("kind", "rule_idx", "obs", "prev", "cur")
+        .agg(F.min(F.struct("sent", "pos", "ro")).alias("first_seen"))
+        .withColumn(
+            "fid",
+            F.row_number().over(Window.orderBy("first_seen")).cast("long") - 1,
+        )
+        .collect()
+    )
+
+    # pinned tag order: first occurrence over the gold tag stream
+    tag_rows = (
+        sentences.where(F.size("tokens") > 0)
+        .select(
+            F.struct(*[F.col(c) for c in ("doc_id", "sent_id") if c in sentences.columns]).alias("sent"),
+            F.posexplode("tags").alias("pos", "tag"),
+        )
+        .groupBy("tag")
+        .agg(F.min(F.struct("sent", "pos")).alias("first_seen"))
+        .collect()
+    )
+    ctx.unpersist()
+    tags = [r.tag for r in sorted(tag_rows, key=lambda r: tuple(r.first_seen))]
+
+    reg_rows.sort(key=lambda r: r.fid)
+    kinds = [r.kind for r in reg_rows]
+    rule_idxs = [r.rule_idx for r in reg_rows]
+    obss = [r.obs for r in reg_rows]
+    prevs = [r.prev for r in reg_rows]
+    curs = [r.cur for r in reg_rows]
+    feature_index = {
+        build_feature_key(r.kind, r.rule_idx, r.obs, r.prev, r.cur): int(r.fid)
+        for r in reg_rows
+    }
+
+    # F2: pure-B cross product over tags + START/STOP, skipping *->START
+    # and STOP->* (crf_ner.py:578-587); pinned iteration order.
+    all_tags = tags + [START_TAG, STOP_TAG]
+    for prev in all_tags:
+        for cur in all_tags:
+            if prev == STOP_TAG or cur == START_TAG:
+                continue
+            key = f"B:{prev}_{cur}"
+            if key not in feature_index:
+                feature_index[key] = len(feature_index)
+                kinds.append("BP")
+                rule_idxs.append(-1)
+                obss.append("")
+                prevs.append(prev)
+                curs.append(cur)
+
+    return CRFModel(
+        tags=tags,
+        feature_index=feature_index,
+        kinds=kinds,
+        rule_idxs=rule_idxs,
+        obss=obss,
+        prevs=prevs,
+        curs=curs,
+    )
+
+
+def decode_crf(
+    sentences: DataFrame,
+    model: CRFModel,
+    token_col: str = "tokens",
+    out_col: str = "tags_pred",
+) -> DataFrame:
+    """W2: broadcast the prebuilt decode tables; per-sentence vectorized
+    float32 Viterbi inside mapInPandas."""
+    spark = sentences.sparkSession
+    bc = spark.sparkContext.broadcast(model)
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(
+        sentences.schema.fields
+        + [StructField(out_col, sentences.schema[token_col].dataType)]
+    )
+    cols = [f.name for f in sentences.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tables = DecodeTables(bc.value)
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out[out_col] = [
+                viterbi_decode_crf(list(wl), tables) for wl in pdf[token_col]
+            ]
+            yield out
+
+    return sentences.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------
+# A8: distributed full-batch training
+# ---------------------------------------------------------------------
+
+class _TrainTables:
+    """Reverse indexes (rule, obs) -> feature ids for gradient gather."""
+
+    def __init__(self, model: CRFModel):
+        self.model = model
+        self.tags = model.tags
+        K = len(model.tags)
+        tag_idx = {t: i for i, t in enumerate(model.tags)}
+        self.tag_idx = tag_idx
+        self.u_fids: dict[tuple[int, str], list] = {}
+        self.u_stop_fids: dict[tuple[int, str], list] = {}
+        self.bo_fids: dict[tuple[int, str], list] = {}
+        self.bo_start_fids: dict[tuple[int, str], list] = {}
+        self.bo_stop_fids: dict[tuple[int, str], list] = {}
+        self.bp_fid = -np.ones((K + 1, K + 1), dtype=np.int64)  # +START row/+STOP col
+        for fid in range(model.n_features):
+            kind = model.kinds[fid]
+            if kind == "U":
+                key = (model.rule_idxs[fid], model.obss[fid])
+                cur = model.curs[fid]
+                if cur == STOP_TAG:
+                    self.u_stop_fids.setdefault(key, []).append(fid)
+                elif cur in tag_idx:
+                    self.u_fids.setdefault(key, []).append((fid, tag_idx[cur]))
+            elif kind == "BO":
+                key = (model.rule_idxs[fid], model.obss[fid])
+                prev, cur = model.prevs[fid], model.curs[fid]
+                if prev == START_TAG and cur in tag_idx:
+                    self.bo_start_fids.setdefault(key, []).append((fid, tag_idx[cur]))
+                elif cur == STOP_TAG and prev in tag_idx:
+                    self.bo_stop_fids.setdefault(key, []).append((fid, tag_idx[prev]))
+                elif prev in tag_idx and cur in tag_idx:
+                    self.bo_fids.setdefault(key, []).append(
+                        (fid, tag_idx[prev], tag_idx[cur])
+                    )
+            else:
+                prev, cur = model.prevs[fid], model.curs[fid]
+                pi = K if prev == START_TAG else tag_idx.get(prev, -1)
+                ci = K if cur == STOP_TAG else tag_idx.get(cur, -1)
+                if pi >= 0 and ci >= 0:
+                    self.bp_fid[pi, ci] = fid
+
+
+def _sentence_grad(words, gold_tags, tt: _TrainTables, w64, grad):
+    """Accumulate d(logZ - goldScore)/dw for one sentence into ``grad``.
+    Returns the sentence loss. Potentials/marginals in float64."""
+    tags = tt.tags
+    K = len(tags)
+    T = len(words)
+    if T == 0 or K == 0:
+        return 0.0
+    tag_idx = tt.tag_idx
+    bp_f = tt.bp_fid
+
+    # potentials
+    def u_vec(pos):
+        v = np.zeros(K)
+        fids = []
+        for r, (_, offs) in enumerate(U_TEMPLATES):
+            lst = tt.u_fids.get((r, obs_string(words, pos, offs)))
+            if lst:
+                fids.append(lst)
+                for fid, ci in lst:
+                    v[ci] += w64[fid]
+        return v, fids
+
+    start_v, start_u_fids = u_vec(0)
+    start_bo = []
+    for r, (_, offs) in enumerate(B_TEMPLATES):
+        lst = tt.bo_start_fids.get((r, obs_string(words, 0, offs)))
+        if lst:
+            start_bo.append(lst)
+            for fid, ci in lst:
+                start_v[ci] += w64[fid]
+    bp_start_ids = bp_f[K, :K]
+    start_v = start_v + np.where(bp_start_ids >= 0, w64[np.maximum(bp_start_ids, 0)], 0.0)
+
+    pots = []  # (K,K) for t=1..T-1
+    u_fid_rows, bo_fid_rows = [start_u_fids], [None]
+    for t in range(1, T):
+        uv, ufids = u_vec(t)
+        u_fid_rows.append(ufids)
+        mat = np.zeros((K, K))
+        bofids = []
+        for r, (_, offs) in enumerate(B_TEMPLATES):
+            lst = tt.bo_fids.get((r, obs_string(words, t, offs)))
+            if lst:
+                bofids.append(lst)
+                for fid, pi, ci in lst:
+                    mat[pi, ci] += w64[fid]
+        bo_fid_rows.append(bofids)
+        bp_ids = bp_f[:K, :K]
+        mat = mat + np.where(bp_ids >= 0, w64[np.maximum(bp_ids, 0)], 0.0)
+        pots.append(mat + uv[None, :])
+
+    stop_v = np.zeros(K)
+    stop_bo = []
+    for r, (_, offs) in enumerate(B_TEMPLATES):
+        lst = tt.bo_stop_fids.get((r, obs_string(words, T, offs)))
+        if lst:
+            stop_bo.append(lst)
+            for fid, pi in lst:
+                stop_v[pi] += w64[fid]
+    bp_stop_ids = bp_f[:K, K]
+    stop_v = stop_v + np.where(bp_stop_ids >= 0, w64[np.maximum(bp_stop_ids, 0)], 0.0)
+    stop_u = 0.0
+    stop_u_fids = []
+    for r, (_, offs) in enumerate(U_TEMPLATES):
+        lst = tt.u_stop_fids.get((r, obs_string(words, T, offs)))
+        if lst:
+            stop_u_fids.append(lst)
+            for fid in lst:
+                stop_u += w64[fid]
+
+    # forward / backward (log space)
+    def lse(a, axis=None):
+        m = np.max(a, axis=axis, keepdims=True)
+        out = m + np.log(np.sum(np.exp(a - m), axis=axis, keepdims=True))
+        return np.squeeze(out, axis=axis) if axis is not None else float(out)
+
+    alphas = np.zeros((T, K))
+    alphas[0] = start_v
+    for t in range(1, T):
+        alphas[t] = lse(alphas[t - 1][:, None] + pots[t - 1], axis=0)
+    logZ = lse(alphas[T - 1] + stop_v + stop_u, axis=0)
+
+    betas = np.zeros((T, K))
+    betas[T - 1] = stop_v + stop_u
+    for t in range(T - 2, -1, -1):
+        betas[t] = lse(pots[t] + betas[t + 1][None, :], axis=1)
+
+    # marginals
+    node_m = np.exp(alphas + betas - logZ)  # (T, K)
+    edge_ms = []
+    for t in range(1, T):
+        em = np.exp(
+            alphas[t - 1][:, None] + pots[t - 1] + betas[t][None, :] - logZ
+        )
+        edge_ms.append(em)
+    stop_m = np.exp(alphas[T - 1] + stop_v + stop_u - logZ)  # (K,)
+
+    # --- expectations into grad ---
+    for t in range(T):
+        for lst in u_fid_rows[t]:
+            for fid, ci in lst:
+                grad[fid] += node_m[t, ci]
+    for lst in start_bo:
+        for fid, ci in lst:
+            grad[fid] += node_m[0, ci]
+    for ci in range(K):
+        f = bp_start_ids[ci]
+        if f >= 0:
+            grad[f] += node_m[0, ci]
+    for t in range(1, T):
+        em = edge_ms[t - 1]
+        for lst in bo_fid_rows[t]:
+            for fid, pi, ci in lst:
+                grad[fid] += em[pi, ci]
+        bp_ids = bp_f[:K, :K]
+        mask = bp_ids >= 0
+        if mask.any():
+            np.add.at(grad, bp_ids[mask], em[mask])
+    for lst in stop_bo:
+        for fid, pi in lst:
+            grad[fid] += stop_m[pi]
+    for pi in range(K):
+        f = bp_stop_ids[pi]
+        if f >= 0:
+            grad[f] += stop_m[pi]
+    for lst in stop_u_fids:
+        for fid in lst:
+            grad[fid] += 1.0  # STOP unigram fires with prob 1
+
+    # --- gold counts (subtract) and gold score ---
+    gold = 0.0
+    for t in range(T):
+        cur = gold_tags[t]
+        prev = gold_tags[t - 1] if t > 0 else START_TAG
+        for r, (_, offs) in enumerate(U_TEMPLATES):
+            lst = tt.u_fids.get((r, obs_string(words, t, offs)))
+            if lst:
+                ci_want = tag_idx[cur]
+                for fid, ci in lst:
+                    if ci == ci_want:
+                        grad[fid] -= 1.0
+                        gold += w64[fid]
+        for r, (_, offs) in enumerate(B_TEMPLATES):
+            if t == 0:
+                lst = tt.bo_start_fids.get((r, obs_string(words, 0, offs)))
+                if lst:
+                    ci_want = tag_idx[cur]
+                    for fid, ci in lst:
+                        if ci == ci_want:
+                            grad[fid] -= 1.0
+                            gold += w64[fid]
+            else:
+                lst = tt.bo_fids.get((r, obs_string(words, t, offs)))
+                if lst:
+                    piw, ciw = tag_idx[prev], tag_idx[cur]
+                    for fid, pi, ci in lst:
+                        if pi == piw and ci == ciw:
+                            grad[fid] -= 1.0
+                            gold += w64[fid]
+    # pure-B gold transitions (incl START->first and last->STOP)
+    prev_ids = [K] + [tag_idx[t_] for t_ in gold_tags]
+    cur_ids = [tag_idx[t_] for t_ in gold_tags] + [K]
+    for pi, ci in zip(prev_ids, cur_ids):
+        f = bp_f[pi, ci]
+        if f >= 0:
+            grad[f] -= 1.0
+            gold += w64[f]
+    # STOP B_obs and U gold features
+    for r, (_, offs) in enumerate(B_TEMPLATES):
+        lst = tt.bo_stop_fids.get((r, obs_string(words, T, offs)))
+        if lst:
+            piw = tag_idx[gold_tags[-1]]
+            for fid, pi in lst:
+                if pi == piw:
+                    grad[fid] -= 1.0
+                    gold += w64[fid]
+    for lst in stop_u_fids:
+        for fid in lst:
+            grad[fid] -= 1.0
+            gold += w64[fid]
+
+    return float(logZ - gold)
+
+
+def train_crf(
+    sentences: DataFrame,
+    model: CRFModel | None = None,
+    epochs: int = 5,
+    lr: float = 0.05,
+    l2: float = 0.0,
+) -> tuple[CRFModel, list[float]]:
+    """Full-batch distributed CRF training. Each epoch: broadcast weights,
+    compute exact gradient via forward-backward in mapInPandas (emitted as
+    sparse (fid, grad) rows, reduced by a hash aggregate), apply SGD step
+    on the driver. Returns (model, per-epoch mean losses)."""
+    spark = sentences.sparkSession
+    if model is None:
+        model = build_registry(sentences)
+    tt_bc = spark.sparkContext.broadcast(model)
+
+    data = sentences.select("tokens", "tags").where(F.size("tokens") > 0)
+    data = data.persist()
+    n_sent = data.count()
+    losses: list[float] = []
+
+    for _ in range(epochs):
+        w_bc = spark.sparkContext.broadcast(model.weights.astype(np.float64))
+
+        def epoch_grad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            tt = _TrainTables(tt_bc.value)
+            w64 = w_bc.value
+            grad = np.zeros(len(w64))
+            loss_total = 0.0
+            n = 0
+            for pdf in batches:
+                for words, tags in zip(pdf["tokens"], pdf["tags"]):
+                    loss = _sentence_grad(list(words), list(tags), tt, w64, grad)
+                    if np.isfinite(loss):
+                        loss_total += loss
+                        n += 1
+            nz = np.nonzero(grad)[0]
+            out = pd.DataFrame({"fid": nz.astype(np.int64), "g": grad[nz]})
+            out = pd.concat(
+                [out, pd.DataFrame({"fid": [-1], "g": [loss_total]}),
+                 pd.DataFrame({"fid": [-2], "g": [float(n)]})]
+            )
+            yield out
+
+        agg = (
+            data.mapInPandas(epoch_grad, schema="fid long, g double")
+            .groupBy("fid")
+            .agg(F.sum("g").alias("g"))
+            .collect()
+        )
+        grad = np.zeros(model.n_features)
+        loss_sum = 0.0
+        for r in agg:
+            if r.fid == -1:
+                loss_sum = r.g
+            elif r.fid >= 0:
+                grad[r.fid] = r.g
+        if l2 > 0:
+            grad += l2 * model.weights.astype(np.float64)
+        model.weights = (
+            model.weights.astype(np.float64) - lr * grad / max(n_sent, 1)
+        ).astype(np.float32)
+        losses.append(loss_sum / max(n_sent, 1))
+        w_bc.destroy()
+    data.unpersist()
+    return model, losses

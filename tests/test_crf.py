@@ -1,0 +1,196 @@
+"""M4 gates: CRF registry build vs independent key generation, vectorized
+decode vs the pure-Python float32 oracle (property-tested), gradient
+correctness vs finite differences, and end-to-end training improvement."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from hmm_crf_ner_fromscratch_spark.functions.crf import (
+    B_TEMPLATES,
+    START_TAG,
+    STOP_TAG,
+    U_TEMPLATES,
+    CRFModel,
+    DecodeTables,
+    obs_string,
+    oracle_decode,
+    viterbi_decode_crf,
+)
+from hmm_crf_ner_fromscratch_spark.operators.crf import (
+    _TrainTables,
+    _sentence_grad,
+    build_registry,
+    decode_crf,
+    train_crf,
+)
+
+
+def ref_style_keys(sentences):
+    """Independent reference-shaped feature generation (gold-path scan in
+    template order, then pure-B cross product) -- crf_ner.py:563-587."""
+    keys = []
+    seen = set()
+    tags_seen = []
+
+    def add(k):
+        if k not in seen:
+            seen.add(k)
+            keys.append(k)
+
+    for words, tags in sentences:
+        for t in tags:
+            if t not in tags_seen:
+                tags_seen.append(t)
+    for words, tags in sentences:
+        for pos in range(len(words) + 1):
+            cur = tags[pos] if pos < len(words) else STOP_TAG
+            prev = tags[pos - 1] if pos > 0 else START_TAG
+            for prefix, offs in U_TEMPLATES:
+                add(f"{prefix}:{obs_string(words, pos, offs)}_{cur}")
+            for prefix, offs in B_TEMPLATES:
+                add(f"{prefix}:{obs_string(words, pos, offs)}_{prev}_{cur}")
+            add(f"B:{prev}_{cur}")
+    all_tags = tags_seen + [START_TAG, STOP_TAG]
+    for prev in all_tags:
+        for cur in all_tags:
+            if prev == STOP_TAG or cur == START_TAG:
+                continue
+            add(f"B:{prev}_{cur}")
+    return keys, tags_seen
+
+
+TINY = [
+    (["John", "lives", "in", "Paris"], ["B-PER", "O", "O", "B-LOC"]),
+    (["Mary", "Smith", "visits", "London"], ["B-PER", "I-PER", "O", "B-LOC"]),
+    (["in", "Paris"], ["O", "B-LOC"]),
+]
+
+
+@pytest.fixture(scope="module")
+def tiny_df(spark):
+    rows = [(i, list(w), list(t)) for i, (w, t) in enumerate(TINY)]
+    return spark.createDataFrame(
+        rows, "sent_id long, tokens array<string>, tags array<string>"
+    )
+
+
+def test_registry_matches_reference_generation(spark, tiny_df):
+    model = build_registry(tiny_df)
+    want_keys, want_tags = ref_style_keys(TINY)
+    assert model.tags == want_tags
+    got = sorted(model.feature_index, key=model.feature_index.get)
+    assert got == want_keys
+    # ids are dense 0..n-1
+    assert sorted(model.feature_index.values()) == list(range(len(want_keys)))
+
+
+def _random_model(rng, n_words=8, n_tags=3, n_sents=6, max_len=7):
+    vocab = [f"w{i}" for i in range(n_words)]
+    tagset = [f"T{i}" for i in range(n_tags)]
+    sents = []
+    for _ in range(n_sents):
+        L = rng.randint(1, max_len)
+        words = [rng.choice(vocab) for _ in range(L)]
+        tags = [rng.choice(tagset) for _ in range(L)]
+        sents.append((words, tags))
+    keys, tags_seen = ref_style_keys(sents)
+    fi = {k: i for i, k in enumerate(keys)}
+    kinds, rule_idxs, obss, prevs, curs = [], [], [], [], []
+    u_pref = {p: i for i, (p, _) in enumerate(U_TEMPLATES)}
+    b_pref = {p: i for i, (p, _) in enumerate(B_TEMPLATES)}
+    all_t = tags_seen + [START_TAG, STOP_TAG]
+    for k in keys:
+        prefix, _, rest = k.partition(":")
+        if prefix == "B":
+            # B:prev_cur with known tags
+            found = None
+            for pv in all_t:
+                for cu in all_t:
+                    if rest == f"{pv}_{cu}":
+                        found = (pv, cu)
+            prevs.append(found[0]); curs.append(found[1])
+            kinds.append("BP"); rule_idxs.append(-1); obss.append("")
+        elif prefix in u_pref:
+            found = None
+            for cu in all_t:
+                if rest.endswith(f"_{cu}"):
+                    found = (rest[: -len(cu) - 1], cu)
+            obss.append(found[0]); curs.append(found[1])
+            kinds.append("U"); rule_idxs.append(u_pref[prefix]); prevs.append("")
+        else:
+            found = None
+            for pv in all_t:
+                for cu in all_t:
+                    if rest.endswith(f"_{pv}_{cu}"):
+                        found = (rest[: -len(pv) - len(cu) - 2], pv, cu)
+            obss.append(found[0]); prevs.append(found[1]); curs.append(found[2])
+            kinds.append("BO"); rule_idxs.append(b_pref[prefix])
+    w = (rng.random() for _ in range(len(keys)))
+    weights = np.array([rng.uniform(-2, 2) for _ in range(len(keys))], dtype=np.float32)
+    model = CRFModel(
+        tags=tags_seen, feature_index=fi, kinds=kinds, rule_idxs=rule_idxs,
+        obss=obss, prevs=prevs, curs=curs, weights=weights,
+    )
+    return model, sents, vocab
+
+
+def test_decode_property_vs_oracle():
+    """200 random (model, sentence) pairs: vectorized decode == oracle,
+    path-for-path (float32, first-index tie-breaks)."""
+    rng = random.Random(1234)
+    for trial in range(20):
+        model, sents, vocab = _random_model(rng)
+        tables = DecodeTables(model)
+        for _ in range(10):
+            L = rng.randint(1, 9)
+            # mix of seen and unseen words
+            words = [
+                rng.choice(vocab + ["unk1", "unk2"]) for _ in range(L)
+            ]
+            got = viterbi_decode_crf(words, tables)
+            want = oracle_decode(
+                words, model.weights, model.feature_index, model.tags
+            )
+            assert got == want, f"trial {trial}: {words}"
+
+
+def test_gradient_matches_finite_differences():
+    rng = random.Random(7)
+    model, sents, _ = _random_model(rng, n_words=5, n_tags=2, n_sents=3, max_len=4)
+    tt = _TrainTables(model)
+    words, tags = sents[0]
+    w64 = model.weights.astype(np.float64)
+
+    grad = np.zeros(model.n_features)
+    loss0 = _sentence_grad(words, tags, tt, w64, grad)
+    assert np.isfinite(loss0)
+
+    eps = 1e-6
+    # check a sample of feature dims incl each kind
+    idxs = list(range(0, model.n_features, max(1, model.n_features // 25)))
+    for fid in idxs:
+        wp = w64.copy(); wp[fid] += eps
+        wm = w64.copy(); wm[fid] -= eps
+        gp = np.zeros(model.n_features)
+        gm = np.zeros(model.n_features)
+        lp = _sentence_grad(words, tags, tt, wp, gp)
+        lm = _sentence_grad(words, tags, tt, wm, gm)
+        num = (lp - lm) / (2 * eps)
+        assert abs(num - grad[fid]) < 1e-4, (fid, num, grad[fid])
+
+
+def test_train_crf_learns(spark, tiny_df):
+    model, losses = train_crf(tiny_df, epochs=8, lr=0.5)
+    assert losses[-1] < losses[0] * 0.6, losses
+    decoded = decode_crf(tiny_df, model)
+    rows = {r.sent_id: r.tags_pred for r in decoded.collect()}
+    correct = sum(
+        sum(p == g for p, g in zip(rows[i], TINY[i][1]))
+        for i in range(len(TINY))
+    )
+    total = sum(len(t) for _, t in TINY)
+    assert correct / total >= 0.9, (correct, total)
