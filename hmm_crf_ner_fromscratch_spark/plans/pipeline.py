@@ -1,0 +1,150 @@
+"""End-to-end KG construction pipeline with checkpointed stages and exact
+resume (BASELINE.json north_star: "per-partition lineage rows and
+checkpointed stage outputs enabling exact resume").
+
+Stage DAG:
+  transcripts (external input snapshot)
+    -> decoded    (K1 salting + K2 tokenize + W1 HMM decode)
+    -> mentions   (K3)
+    -> triples    (K4)
+    -> nodes/edges (K5-K8)
+
+Each stage writes through TableIO (Parquet+manifest here, Iceberg when a
+catalog exists); a stage is skipped on re-run iff its manifest is complete
+AND its recorded input snapshot ids match the current upstream snapshots --
+so editing/removing any upstream invalidates exactly the affected suffix
+of the DAG.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import build_graph
+from ..operators.hmm import HMMModel, decode_hmm
+from ..operators.mentions import extract_mentions
+from ..operators.relations import template_triples
+from ..sources.transcripts import salted_turns, tokenize_turns
+from .lineage import ParquetManifestTableIO, new_run_id
+
+
+@dataclass
+class PipelineResult:
+    run_id: str
+    executed: list[str] = field(default_factory=list)
+    skipped: list[str] = field(default_factory=list)
+    snapshots: dict = field(default_factory=dict)
+
+
+class KGPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        model: HMMModel,
+        cross_turn_window: int = 2,
+        link_threshold: float = 0.72,
+        salt_bucket: int = 4096,
+        scheme: str = "bio",
+    ):
+        self.spark = spark
+        self.io = ParquetManifestTableIO(spark, work_dir)
+        self.model = model
+        self.cross_turn_window = cross_turn_window
+        self.link_threshold = link_threshold
+        self.salt_bucket = salt_bucket
+        self.scheme = scheme
+
+    def _stage(
+        self,
+        result: PipelineResult,
+        name: str,
+        inputs: list[str],
+        compute,
+        partition_by=None,
+    ) -> str:
+        if self.io.is_complete(name, inputs):
+            snap = self.io.snapshot_id(name)
+            result.skipped.append(name)
+            result.snapshots[name] = snap
+            return snap
+        df = compute()
+        snap = self.io.write(
+            name, df, inputs, result.run_id, partition_by=partition_by
+        )
+        result.executed.append(name)
+        result.snapshots[name] = snap
+        return snap
+
+    def run(self, transcripts: DataFrame, input_snapshot: str) -> PipelineResult:
+        """``input_snapshot`` identifies the transcript input version (e.g.
+        the Iceberg snapshot id of the source table, or a content hash)."""
+        res = PipelineResult(run_id=new_run_id())
+        io = self.io
+
+        s_decoded = self._stage(
+            res,
+            "decoded",
+            [input_snapshot, "hmm:" + _model_fingerprint(self.model)],
+            lambda: decode_hmm(
+                salted_turns(tokenize_turns(transcripts), bucket=self.salt_bucket),
+                self.model,
+            ),
+        )
+        s_mentions = self._stage(
+            res,
+            "mentions",
+            [s_decoded],
+            lambda: extract_mentions(io.read("decoded"), scheme=self.scheme),
+        )
+        s_triples = self._stage(
+            res,
+            "triples",
+            [s_mentions],
+            lambda: template_triples(
+                io.read("mentions"), cross_turn_window=self.cross_turn_window
+            ),
+        )
+
+        def graph_nodes():
+            nodes, _ = build_graph(
+                io.read("mentions"), io.read("triples"),
+                link_threshold=self.link_threshold,
+            )
+            return nodes
+
+        def graph_edges():
+            _, edges = build_graph(
+                io.read("mentions"), io.read("triples"),
+                link_threshold=self.link_threshold,
+            )
+            return edges
+
+        # nodes and edges share upstreams; materialized separately so each
+        # is independently resumable.
+        self._stage(res, "nodes", [s_mentions, s_triples], graph_nodes)
+        self._stage(res, "edges", [s_mentions, s_triples], graph_edges)
+        return res
+
+
+def _model_fingerprint(model: HMMModel) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(model.pi.tobytes())
+    h.update(model.A.tobytes())
+    h.update(model.B.tobytes())
+    return h.hexdigest()[:16]
+
+
+def transcripts_snapshot(df: DataFrame) -> str:
+    """Content-hash snapshot id for a transcript frame that has no table
+    snapshot of its own (e.g. synthetic inputs): order-insensitive xxhash."""
+    row = df.select(
+        F.bit_xor(F.xxhash64("conv_id", "turn_idx", "role", "text")).alias("h"),
+        F.count("*").alias("n"),
+    ).first()
+    return f"tx:{row.h}:{row.n}"

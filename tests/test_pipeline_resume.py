@@ -1,0 +1,79 @@
+"""M6 gate: checkpointed pipeline, per-partition lineage, exact resume."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hmm_crf_ner_fromscratch_spark.operators.hmm import train_hmm
+from hmm_crf_ner_fromscratch_spark.plans.pipeline import (
+    KGPipeline,
+    transcripts_snapshot,
+)
+from hmm_crf_ner_fromscratch_spark.sources.conll import read_conll
+from hmm_crf_ner_fromscratch_spark.sources.transcripts import (
+    load_eval_sentences,
+    synth_transcripts,
+)
+
+
+def _edges_set(pipe):
+    return {
+        (r.src, r.pred, r.dst, r.weight)
+        for r in pipe.io.read("edges").collect()
+    }
+
+
+def test_pipeline_run_resume_invalidate(spark, english_golden, tmp_path):
+    sents = load_eval_sentences(english_golden["val"])[:400]
+    tx = synth_transcripts(spark, 300, seed=21, eval_sentences=sents)
+    model = train_hmm(read_conll(spark, english_golden["train"], doc_id="t"))
+    snap = transcripts_snapshot(tx)
+
+    pipe = KGPipeline(spark, str(tmp_path / "kg"), model, salt_bucket=64)
+    r1 = pipe.run(tx, snap)
+    assert r1.executed == ["decoded", "mentions", "triples", "nodes", "edges"]
+    assert r1.skipped == []
+    edges1 = _edges_set(pipe)
+    assert len(edges1) > 50
+
+    # full resume: nothing recomputes, outputs identical
+    r2 = pipe.run(tx, snap)
+    assert r2.executed == []
+    assert r2.skipped == ["decoded", "mentions", "triples", "nodes", "edges"]
+    assert _edges_set(pipe) == edges1
+    assert r2.snapshots == r1.snapshots
+
+    # partial resume: nuke the triples manifest -> triples recomputes; its
+    # content-defined snapshot id comes out identical, so downstream nodes/
+    # edges remain valid and are skipped (content-addressed invalidation)
+    import os
+
+    os.remove(tmp_path / "kg" / "triples" / "_manifest.json")
+    r3 = pipe.run(tx, snap)
+    assert r3.executed == ["triples"]
+    assert r3.skipped == ["decoded", "mentions", "nodes", "edges"]
+    assert _edges_set(pipe) == edges1
+    assert r3.snapshots == r1.snapshots  # deterministic snapshot ids
+
+    # input change invalidates everything
+    tx2 = synth_transcripts(spark, 310, seed=21, eval_sentences=sents)
+    r4 = pipe.run(tx2, transcripts_snapshot(tx2))
+    assert r4.executed == ["decoded", "mentions", "triples", "nodes", "edges"]
+
+
+def test_lineage_rows(spark, english_golden, tmp_path):
+    sents = load_eval_sentences(english_golden["val"])[:100]
+    tx = synth_transcripts(spark, 50, seed=2, eval_sentences=sents)
+    model = train_hmm(read_conll(spark, english_golden["train"], doc_id="t"))
+    pipe = KGPipeline(spark, str(tmp_path / "kg"), model, salt_bucket=64)
+    pipe.run(tx, transcripts_snapshot(tx))
+
+    lin = pipe.io.lineage("mentions")
+    rows = lin.collect()
+    assert {r.stage for r in rows} == {"mentions"}
+    assert all(r.checksum is not None and r.rows >= 0 for r in rows)
+    # lineage row count == table row count
+    total = pipe.io.read("mentions").count()
+    assert sum(r.rows for r in rows) == total
+    m = pipe.io.manifest("mentions")
+    assert m["row_count"] == total and m["complete"]
