@@ -33,13 +33,18 @@ TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 _ROLES = ["user", "assistant", "tool"]
 _TOOLS = ["search", "calculator", "browser", "sql", "python"]
 
-# Small word pool for filler turns; real tokens come from the eval slice.
+# Word pool for filler turns; real tokens come from the eval slice. The
+# capitalized entries are frequent CoNLL entity surfaces so that decoding
+# filler turns with a CoNLL-trained model produces a realistic mention
+# rate (benchmarks exercise the whole mentions->triples path).
 _FILLER_WORDS = [
     "the", "a", "on", "in", "said", "to", "of", "and", "for", "with",
     "market", "team", "game", "report", "price", "week", "year", "city",
     "group", "bank", "match", "season", "court", "trade", "talks", "told",
     "first", "two", "new", "last", "percent", "million", "government",
     "president", "minister", "police", "company", "shares", "points",
+    "Germany", "Clinton", "U.N.", "Russia", "England", "Michael", "Paris",
+    "Reuters", "France", "Wall", "Street", "United", "States", "Iraq",
 ]
 
 
