@@ -468,15 +468,20 @@ def train_crf(
     epochs: int = 5,
     lr: float = 0.05,
     l2: float = 0.0,
+    optimizer: str = "sgd",
+    epoch_callback=None,
 ) -> tuple[CRFModel, list[float]]:
     """Full-batch distributed CRF training. Each epoch: broadcast weights,
     compute exact gradient via forward-backward in mapInPandas (emitted as
-    sparse (fid, grad) rows, reduced by a hash aggregate), apply SGD step
-    on the driver. Returns (model, per-epoch mean losses)."""
+    sparse (fid, grad) rows, reduced by a hash aggregate), apply the
+    update on the driver. ``optimizer``: 'sgd' or 'adagrad' (per-feature
+    adaptive steps -- much faster convergence on sparse CRF features).
+    Returns (model, per-epoch mean losses)."""
     spark = sentences.sparkSession
     if model is None:
         model = build_registry(sentences)
     tt_bc = spark.sparkContext.broadcast(model)
+    g2_acc = np.zeros(model.n_features) if optimizer == "adagrad" else None
 
     data = sentences.select("tokens", "tags").where(F.size("tokens") > 0)
     data = data.persist()
@@ -521,10 +526,16 @@ def train_crf(
                 grad[r.fid] = r.g
         if l2 > 0:
             grad += l2 * model.weights.astype(np.float64)
-        model.weights = (
-            model.weights.astype(np.float64) - lr * grad / max(n_sent, 1)
-        ).astype(np.float32)
+        grad /= max(n_sent, 1)
+        if optimizer == "adagrad":
+            g2_acc += grad * grad
+            step = lr * grad / (np.sqrt(g2_acc) + 1e-8)
+        else:
+            step = lr * grad
+        model.weights = (model.weights.astype(np.float64) - step).astype(np.float32)
         losses.append(loss_sum / max(n_sent, 1))
         w_bc.destroy()
+        if epoch_callback is not None:
+            epoch_callback(len(losses), model, losses[-1])
     data.unpersist()
     return model, losses

@@ -1,0 +1,193 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All pure Spark SQL (no Python UDFs): the hash primitive shared with the
+DuckDB oracles is MD5 (identical hex output in both engines), so every
+operator here is exactly cross-checkable.
+
+* exact_duplicates      -- hash-groupBy exact dedup
+* minhash_near_duplicates -- shingle -> MinHash -> LSH banding ->
+  candidate pairs -> exact shingle-set Jaccard confirm (the classic
+  Broder pipeline; banding keeps the join linear in corpus size)
+* simhash_fingerprints  -- bit-vote fingerprint over token hashes
+  (Charikar); equal fingerprints = near-dup bucket
+* winnowing_fingerprints -- MOSS-style winnowed k-gram fingerprints
+  (Schleimer et al.): local-min sampling of rolling k-gram hashes,
+  robust to insertions/reorderings for overlap detection
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_SHINGLE = 5
+N_MINHASH = 12
+BAND_SIZE = 3
+SIMHASH_BITS = 16
+WINNOW_K = 4
+WINNOW_W = 5
+
+
+def _tokens(df: DataFrame, text_col: str) -> F.Column:
+    return F.split(F.col(text_col), " ")
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_md5"))
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keep_doc_id"))
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = N_SHINGLE) -> DataFrame:
+    toks = _tokens(df, text_col)
+    size = F.size(toks)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(size - (n - 1), F.lit(1))),
+                lambda i: F.array_join(F.slice(toks, i, F.lit(n)), " "),
+            )
+        ).alias("shingles"),
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    n_hashes: int = N_MINHASH,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for LSH-candidate pairs clearing the exact
+    Jaccard threshold."""
+    sh = shingle_sets(df, text_col, id_col).persist()
+    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    minhashes = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")).cast("binary"))).alias(f"h{j}")
+            for j in range(n_hashes)
+        ]
+    )
+    bands = minhashes.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat(
+                                *[F.col(f"h{b * band_size + k}") for k in range(band_size)]
+                            ).cast("binary")
+                        ).alias("bh"),
+                    )
+                    for b in range(n_hashes // band_size)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            [
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bh") == F.col("b.bh"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(doc_id, simhash) -- per-bit majority vote over token hashes.
+
+    Token hash = first 15 hex digits of md5 (60 bits, positive bigint) so
+    the construction is reproducible in any engine with md5.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(df, text_col)).alias("tok"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_buckets(df: DataFrame, **kw) -> DataFrame:
+    """Exact-fingerprint near-dup buckets (hamming distance 0)."""
+    fps = simhash_fingerprints(df, **kw)
+    return (
+        fps.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """MOSS winnowing: hash every k-gram of tokens, keep the min hash of
+    each w-window, dedupe -> (doc_id, fingerprint). Window min runs as a
+    bounded sliding frame per document (rowsBetween), no global sort."""
+    toks = _tokens(df, text_col)
+    size = F.size(toks)
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(size - (k - 1), F.lit(1))),
+                lambda i: F.array_join(F.slice(toks, i, F.lit(k)), " "),
+            )
+        ).alias("pos", "gram"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("gh"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.select("doc_id", F.min("gh").over(win).alias("fingerprint"))
+        .distinct()
+    )

@@ -1,0 +1,200 @@
+"""Similarity search over embedding columns (array<float>).
+
+Fixed-point quantization discipline: vectors are quantized to integer
+milli-units before any arithmetic, so dot products are exact integers and
+rankings are engine-independent (the DuckDB oracles hash-match bit-for-bit;
+summation order cannot matter). The ranking key ``dot*|dot|/(na*nb)`` is
+monotone in cosine, avoids sqrt, and stays in deterministic integer->
+double territory.
+
+* brute_force_topk -- exact top-k (broadcast queries x corpus); the
+  correctness baseline and the right plan when |queries| is small.
+* lsh_topk         -- random-hyperplane (sign) LSH bucketing: corpus is
+  hashed once into 2^n_planes buckets, queries probe their own bucket
+  (plus optional 1-bit flips); candidate sets shrink by ~2^n_planes.
+  The scale path: the corpus side is a narrow pre-bucketed table, the
+  per-query work is a bucket lookup instead of a full scan.
+* cosine_near_duplicates -- all pairs above a similarity threshold
+  (embedding-based near-dup detection for training corpora).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 1000
+
+
+def quantized(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    q = F.transform(vec_col, lambda x: F.round(x.cast("double") * QUANT).cast("long"))
+    base = df.select(F.col(id_col).alias("vec_id"), q.alias("q"))
+    nrm = F.aggregate(
+        F.zip_with("q", "q", lambda u, v: u * v),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return base.withColumn("nrm", nrm)
+
+
+def _sim(dot, na, nb):
+    return (dot * F.abs(dot)).cast("double") / (na * nb).cast("double")
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_ids,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    base = quantized(emb, vec_col, id_col)
+    queries = base.where(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("nrm").alias("qn")
+    )
+    pairs = F.broadcast(queries).crossJoin(
+        base.select(F.col("vec_id").alias("neighbor_id"), "q", "nrm")
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    dot = F.aggregate(
+        F.zip_with("qq", "q", lambda u, v: u * v),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", _sim(dot, F.col("qn"), F.col("nrm")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def _hyperplane(plane: int, dim: int):
+    """Deterministic pseudo-random hyperplane component: integer in
+    [-500, 500] derived from md5 (md5 so the construction is reproducible
+    in any engine, e.g. the DuckDB oracles)."""
+    return lambda q: F.aggregate(
+        F.zip_with(
+            q,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"hp{plane}:"), i.cast("string")
+                                ).cast("binary")
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(1001),
+                )
+                - 500,
+            ),
+            lambda u, h: u * h,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def add_lsh_bucket(
+    qdf: DataFrame, n_planes: int = 6, dim: int = 64, q_col: str = "q"
+) -> DataFrame:
+    bucket = None
+    for p in range(n_planes):
+        dot = _hyperplane(p, dim)(F.col(q_col))
+        bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return qdf.withColumn("bucket", bucket.cast("int"))
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_ids,
+    k: int = 10,
+    n_planes: int = 6,
+    dim: int = 64,
+    multi_probe: bool = True,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    plus (multi_probe) every bucket at hamming distance 1 -- the standard
+    recall lever that avoids building more tables. Recall/latency tradeoff
+    via n_planes; same quantized scoring as brute force so results are
+    directly comparable."""
+    base = add_lsh_bucket(quantized(emb, vec_col, id_col), n_planes, dim)
+    queries = base.where(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("int")
+                for p in range(n_planes)
+            ],
+        )
+        queries = queries.withColumn("bucket", F.explode(probes))
+    cands = base.select(
+        F.col("vec_id").alias("neighbor_id"), "q", "nrm", "bucket"
+    )
+    pairs = F.broadcast(queries).join(cands, "bucket").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    dot = F.aggregate(
+        F.zip_with("qq", "q", lambda u, v: u * v),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", _sim(dot, F.col("qn"), F.col("nrm")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def cosine_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """All pairs with quantized signed-cosine >= threshold, LSH-blocked
+    (same-bucket pairs only) to stay subquadratic at corpus scale."""
+    base = add_lsh_bucket(quantized(emb, vec_col, id_col), n_planes, dim)
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
+    pairs = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda u, v: u * v),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.select("vec_a", "vec_b", _sim(dot, F.col("na"), F.col("nb")).alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )

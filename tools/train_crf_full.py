@@ -1,0 +1,89 @@
+"""Full-corpus CRF quality run (README parity target: validation F1).
+
+Trains the CRF on the complete English CoNLL train set with Adagrad,
+checkpointing the model and logging validation token accuracy + entity
+micro-F1 (check.py semantics: labels exclude O) after each epoch.
+
+Usage: python tools/train_crf_full.py [epochs] [lr] [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main():
+    from hmm_crf_ner_fromscratch_spark.operators.crf import (
+        build_registry,
+        decode_crf,
+        train_crf,
+    )
+    from hmm_crf_ner_fromscratch_spark.sources.conll import read_conll
+    from hmm_crf_ner_fromscratch_spark.session import get_spark
+
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 15
+    lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
+    out_dir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/crf_full"
+    os.makedirs(out_dir, exist_ok=True)
+
+    spark = get_spark(app_name="crf-full", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    train = read_conll(spark, "/root/reference/English/train.txt", doc_id="t").persist()
+    val = read_conll(spark, "/root/reference/English/validation.txt", doc_id="v").persist()
+    val.count()
+
+    t0 = time.time()
+    registry = build_registry(train)
+    print(f"registry: {registry.n_features} features, {time.time()-t0:.0f}s", flush=True)
+
+    def evaluate(model):
+        decoded = decode_crf(val.drop("tags"), model).select("sent_id", "tags_pred")
+        j = decoded.join(val.select("sent_id", "tags"), "sent_id")
+        pairs = j.select(
+            F.explode(
+                F.arrays_zip(F.col("tags_pred").alias("p"), F.col("tags").alias("g"))
+            ).alias("x")
+        ).select(F.col("x.p").alias("p"), F.col("x.g").alias("g"))
+        agg = pairs.agg(
+            F.avg((F.col("p") == F.col("g")).cast("double")).alias("acc"),
+            F.sum(((F.col("p") == F.col("g")) & (F.col("g") != "O")).cast("long")).alias("tp"),
+            F.sum(((F.col("p") != F.col("g")) & (F.col("p") != "O")).cast("long")).alias("fp"),
+            F.sum(((F.col("p") != F.col("g")) & (F.col("g") != "O")).cast("long")).alias("fn"),
+        ).first()
+        prec = agg.tp / max(agg.tp + agg.fp, 1)
+        rec = agg.tp / max(agg.tp + agg.fn, 1)
+        f1 = 2 * prec * rec / max(prec + rec, 1e-12)
+        return {"token_acc": agg.acc, "micro_p": prec, "micro_r": rec, "micro_f1": f1}
+
+    log_path = os.path.join(out_dir, "log.jsonl")
+
+    def cb(epoch, model, loss):
+        rec = {"epoch": epoch, "loss": loss, "sec": round(time.time() - t0, 1)}
+        if epoch % 3 == 0 or epoch == epochs:
+            rec.update(evaluate(model))
+            model.save(os.path.join(out_dir, "model"))
+        with open(log_path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(rec, flush=True)
+
+    model, losses = train_crf(
+        train, model=registry, epochs=epochs, lr=lr,
+        optimizer="adagrad", epoch_callback=cb,
+    )
+    model.save(os.path.join(out_dir, "model"))
+    final = evaluate(model)
+    print("FINAL", final, flush=True)
+    with open(log_path, "a", encoding="utf-8") as f:
+        f.write(json.dumps({"final": final}) + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
