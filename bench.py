@@ -44,13 +44,25 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # decode token volume for the throughput figure
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_decode_tokens = (
-        docs.where(F.col("doc_id") % 5 == 0)
-        .select(F.sum(F.size(F.split("text", " "))).alias("n"))
-        .first()["n"]
+
+    # session warm-up: boot python UDF workers + JIT paths on a tiny slice
+    # so per-query timings measure the queries, not one-time session costs
+    from hmm_crf_ner_fromscratch_spark.operators.fused import decode_and_extract
+    from hmm_crf_ner_fromscratch_spark.operators.hmm import HMMModel
+    import numpy as np
+
+    warm_model = HMMModel(
+        pi=np.zeros(2), A=np.zeros((2, 2)), B=np.log(np.full((2, 2), 0.5)),
+        word_to_idx={"a": 0, "b": 1}, tag_to_idx={"O": 0, "B-X": 1},
+        tag_counts={0: 1, 1: 1},
     )
+    warm = docs.limit(256).select(
+        F.lit("w").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.split("text", " ").alias("tokens"),
+    )
+    decode_and_extract(warm, warm_model, key_cols=("conv_id", "turn_idx")).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -61,9 +73,39 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
+    # decode throughput proper: model trained untimed, fused decode timed
+    from hmm_crf_ner_fromscratch_spark.operators.hmm import train_hmm
+    from hmm_crf_ner_fromscratch_spark.plans.entry_queries import (
+        OBJ_WORDS, OP_WORDS, _toks,
+    )
+
+    tagged = _toks(spark, sf_dir).select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.col("toks").alias("tokens"),
+        F.transform(
+            "toks",
+            lambda w: F.when(w.isin(OP_WORDS), "B-OP")
+            .when(w.isin(OBJ_WORDS), "B-OBJ")
+            .otherwise("O"),
+        ).alias("tags"),
+    ).persist()
+    dict_model = train_hmm(
+        tagged.select(
+            F.col("conv_id").alias("doc_id"),
+            F.col("turn_idx").cast("long").alias("sent_id"),
+            "tokens", "tags",
+        )
+    )
+    all_tokens = tagged.select(F.sum(F.size("tokens"))).first()[0]
+    t0 = time.time()
+    decode_and_extract(tagged.drop("tags"), dict_model, key_cols=("conv_id", "turn_idx")).count()
+    timings["decode_fused"] = round(time.time() - t0, 3)
+    tagged.unpersist()
+
     total = round(sum(timings.values()), 3)
     decode_tps = (
-        round(n_decode_tokens / timings["hmm_decode_dict"]) if timings.get("hmm_decode_dict") else None
+        round(all_tokens / timings["decode_fused"]) if timings.get("decode_fused") else None
     )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
