@@ -192,33 +192,34 @@ FROM isl GROUP BY doc_id, c, grp
 # =====================================================================
 
 def q_dict_triples(spark, sf_dir):
+    # Adjacency via lead() instead of a self-join: spans within a doc are
+    # non-overlapping and sorted, so a span whose start equals this span's
+    # end can only be the immediate successor. One window = one shuffle AND
+    # the upstream python span-extraction stage runs once, not twice
+    # (a self-join of a mapInPandas output recomputes it per side --
+    # verified in docs/PLANS.md).
     m = q_dict_mentions(spark, sf_dir)
-    a, b = m.alias("a"), m.alias("b")
+    w = Window.partitionBy("doc_id").orderBy("span_start")
+    nxt = m.select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        "entity_type",
+        "surface",
+        F.lead("span_start").over(w).alias("b_start"),
+        F.lead("entity_type").over(w).alias("b_type"),
+        F.lead("surface").over(w).alias("b_surface"),
+    ).where(F.col("b_start") == F.col("span_end"))
     pred = (
-        F.when(
-            (F.col("a.entity_type") == "OP") & (F.col("b.entity_type") == "OBJ"),
-            "operates_on",
-        )
-        .when(
-            (F.col("a.entity_type") == "OBJ") & (F.col("b.entity_type") == "OP"),
-            "feeds",
-        )
+        F.when((F.col("entity_type") == "OP") & (F.col("b_type") == "OBJ"), "operates_on")
+        .when((F.col("entity_type") == "OBJ") & (F.col("b_type") == "OP"), "feeds")
     )
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.doc_id") == F.col("b.doc_id"),
-                F.col("a.span_end") == F.col("b.span_start"),
-            ],
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.col("a.span_start").alias("span_start"),
-            F.col("a.surface").alias("subj"),
-            pred.alias("pred"),
-            F.col("b.surface").alias("obj"),
-        )
+    return nxt.select(
+        "doc_id",
+        "span_start",
+        F.col("surface").alias("subj"),
+        pred.alias("pred"),
+        F.col("b_surface").alias("obj"),
     )
 
 
@@ -922,36 +923,34 @@ def q_kg_pipeline(spark, sf_dir):
     )
     test = turns.where(F.col("turn_idx") % 5 == 0).drop("tags")
     decoded = decode_hmm(test, model)
-    mentions = extract_mentions(decoded)
-    # map OP/OBJ through generic rules: reuse KG templating via adjacency
-    triples = (
-        mentions.alias("a")
-        .join(
-            mentions.alias("b"),
-            on=[
-                F.col("a.conv_id") == F.col("b.conv_id"),
-                F.col("a.turn_idx") == F.col("b.turn_idx"),
-                F.col("a.span_end") == F.col("b.span_start"),
-            ],
-        )
-        .select(
-            F.col("a.surface").alias("subj"),
-            F.when(
-                (F.col("a.entity_type") == "OP") & (F.col("b.entity_type") == "OBJ"),
-                "operates_on",
-            )
-            .when(
-                (F.col("a.entity_type") == "OBJ") & (F.col("b.entity_type") == "OP"),
-                "feeds",
-            )
-            .otherwise("adjacent_to")
-            .alias("pred"),
-            F.col("b.surface").alias("obj"),
-            F.col("a.entity_type").alias("subj_type"),
-            F.col("b.entity_type").alias("obj_type"),
-            F.col("a.conv_id").alias("conv_id"),
-            F.col("a.turn_idx").alias("turn_idx"),
-        )
+    # localCheckpoint: the mentions feed BOTH the triples window and the
+    # graph build; without it each consumer would re-run the python
+    # decode+extract stages (same finding as q_dict_triples).
+    mentions = extract_mentions(decoded).localCheckpoint()
+    # adjacency templating via lead(): one window, span extraction runs once
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("span_start")
+    nxt = mentions.select(
+        "conv_id",
+        "turn_idx",
+        "span_start",
+        "span_end",
+        "entity_type",
+        "surface",
+        F.lead("span_start").over(w).alias("b_start"),
+        F.lead("entity_type").over(w).alias("b_type"),
+        F.lead("surface").over(w).alias("b_surface"),
+    ).where(F.col("b_start") == F.col("span_end"))
+    triples = nxt.select(
+        F.col("surface").alias("subj"),
+        F.when((F.col("entity_type") == "OP") & (F.col("b_type") == "OBJ"), "operates_on")
+        .when((F.col("entity_type") == "OBJ") & (F.col("b_type") == "OP"), "feeds")
+        .otherwise("adjacent_to")
+        .alias("pred"),
+        F.col("b_surface").alias("obj"),
+        F.col("entity_type").alias("subj_type"),
+        F.col("b_type").alias("obj_type"),
+        "conv_id",
+        "turn_idx",
     )
     _, edges = build_graph(mentions, triples)
     return edges.select("src", "pred", "dst", "weight")
