@@ -139,53 +139,66 @@ def train_hmm(sentences: DataFrame) -> HMMModel:
             "pos", "wt"
         ),
     ).select("sent_id", "pos", F.col("wt.word").alias("word"), F.col("wt.tag").alias("tag"))
-    toks = toks.persist()
 
-    # A1/A6: word counts + first-occurrence order (hmm_ner.py:32,37).
-    word_rows = (
-        toks.groupBy("word").agg(F.count("*").alias("cnt"), _first_seen()).collect()
-    )
-    # A2/A6: tag counts + first-occurrence order (hmm_ner.py:33,38).
-    tag_rows = (
-        toks.groupBy("tag").agg(F.count("*").alias("cnt"), _first_seen()).collect()
-    )
-    # A3: initial tag counts (hmm_ner.py:46-47).
-    init_rows = (
-        sentences.select(F.element_at("tags", 1).alias("tag"))
-        .groupBy("tag")
-        .count()
-        .collect()
-    )
-    # A4: transition counts over adjacent in-sentence tag pairs
-    # (hmm_ner.py:50-54) -- array slicing instead of a per-token window, so
-    # no extra shuffle beyond the groupBy.
+    # All five reference count tables (A1-A5) in ONE unified aggregation
+    # pass: rows tagged by kind, single shuffle, single collect. first_seen
+    # only matters for the 'w'/'t' kinds (index order, hmm_ner.py:37-38).
     n = F.size("tags")
-    trans_rows = (
-        sentences.where(n >= 2)
-        .select(
-            F.explode(
-                F.arrays_zip(
-                    F.slice("tags", 1, n - 1).alias("prev"),
-                    F.slice(F.col("tags"), F.lit(2), n - 1).alias("curr"),
-                )
-            ).alias("pc")
+    unified = (
+        toks.select(F.lit("w").alias("kind"), F.col("word").alias("k1"), F.lit("").alias("k2"), "sent_id", "pos")
+        .unionByName(
+            toks.select(F.lit("t").alias("kind"), F.col("tag").alias("k1"), F.lit("").alias("k2"), "sent_id", "pos")
         )
-        .groupBy(F.col("pc.prev").alias("prev"), F.col("pc.curr").alias("curr"))
-        .count()
+        .unionByName(
+            toks.select(F.lit("e").alias("kind"), F.col("tag").alias("k1"), F.col("word").alias("k2"), "sent_id", "pos")
+        )
+        .unionByName(
+            sentences.select(
+                F.lit("i").alias("kind"),
+                F.element_at("tags", 1).alias("k1"),
+                F.lit("").alias("k2"),
+                F.struct(*order_cols).alias("sent_id"),
+                F.lit(0).alias("pos"),
+            )
+        )
+        .unionByName(
+            sentences.where(n >= 2)
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("tags", 1, n - 1).alias("prev"),
+                        F.slice(F.col("tags"), F.lit(2), n - 1).alias("curr"),
+                    )
+                ).alias("pc"),
+                F.struct(*order_cols).alias("sent_id"),
+            )
+            .select(
+                F.lit("tr").alias("kind"),
+                F.col("pc.prev").alias("k1"),
+                F.col("pc.curr").alias("k2"),
+                "sent_id",
+                F.lit(0).alias("pos"),
+            )
+        )
+    )
+    rows = (
+        unified.groupBy("kind", "k1", "k2")
+        .agg(F.count("*").alias("cnt"), _first_seen())
         .collect()
     )
-    # A5: emission counts -- reference counts every token exactly once
-    # (first token at hmm_ner.py:48, the rest at hmm_ner.py:55).
-    emit_rows = toks.groupBy("tag", "word").count().collect()
+    word_rows = [r for r in rows if r.kind == "w"]
+    tag_rows = [r for r in rows if r.kind == "t"]
+    init_rows = [r for r in rows if r.kind == "i"]
+    trans_rows = [r for r in rows if r.kind == "tr"]
+    emit_rows = [r for r in rows if r.kind == "e"]
     total_sentences = sentences.count()
-    toks.unpersist()
 
     # ---- driver-side model assembly (A7), exact reference formulas ----
     word_order = sorted(word_rows, key=lambda r: (r.first_seen[0], r.first_seen[1]))
     tag_order = sorted(tag_rows, key=lambda r: (r.first_seen[0], r.first_seen[1]))
-    word_to_idx = {r.word: i for i, r in enumerate(word_order)}
-    tag_to_idx = {r.tag: i for i, r in enumerate(tag_order)}
-    tag_counts = {tag_to_idx[r.tag]: r.cnt for r in tag_order}
+    word_to_idx = {r.k1: i for i, r in enumerate(word_order)}
+    tag_to_idx = {r.k1: i for i, r in enumerate(tag_order)}
+    tag_counts = {tag_to_idx[r.k1]: r.cnt for r in tag_order}
     V = len(word_to_idx)
     K = len(tag_to_idx)
     if total_sentences == 0 or K == 0 or V == 0:
@@ -194,8 +207,8 @@ def train_hmm(sentences: DataFrame) -> HMMModel:
     # pi -- quirk Q1: unobserved initial tags stay exactly 0.0.
     pi = np.zeros(K, dtype=np.float64)
     for r in init_rows:
-        pi[tag_to_idx[r.tag]] = math.log(
-            (r["count"] + SMOOTHING_FACTOR) / (total_sentences + K * SMOOTHING_FACTOR)
+        pi[tag_to_idx[r.k1]] = math.log(
+            (r.cnt + SMOOTHING_FACTOR) / (total_sentences + K * SMOOTHING_FACTOR)
         )
 
     # A -- quirk Q2: only rows with observed predecessors are filled; cells
@@ -203,10 +216,10 @@ def train_hmm(sentences: DataFrame) -> HMMModel:
     A = np.zeros((K, K), dtype=np.float64)
     row_totals: dict[int, int] = {}
     for r in trans_rows:
-        row_totals[tag_to_idx[r.prev]] = row_totals.get(tag_to_idx[r.prev], 0) + r["count"]
+        row_totals[tag_to_idx[r.k1]] = row_totals.get(tag_to_idx[r.k1], 0) + r.cnt
     for r in trans_rows:
-        i, j = tag_to_idx[r.prev], tag_to_idx[r.curr]
-        A[i, j] = math.log((r["count"] + 1) / (row_totals[i] + K))
+        i, j = tag_to_idx[r.k1], tag_to_idx[r.k2]
+        A[i, j] = math.log((r.cnt + 1) / (row_totals[i] + K))
     for i, total in row_totals.items():
         backfill = math.log(1 / (total + K))
         A[i, A[i] == 0.0] = backfill
@@ -220,8 +233,8 @@ def train_hmm(sentences: DataFrame) -> HMMModel:
     for j in range(K):
         B[j, :] = math.log(1.0 / (tag_counts[j] + V))
     for r in emit_rows:
-        i = tag_to_idx[r.tag]
-        B[i, word_to_idx[r.word]] = math.log((r["count"] + 1.0) / (tag_counts[i] + V))
+        i = tag_to_idx[r.k1]
+        B[i, word_to_idx[r.k2]] = math.log((r.cnt + 1.0) / (tag_counts[i] + V))
 
     return HMMModel(pi, A, B, word_to_idx, tag_to_idx, tag_counts)
 
