@@ -130,3 +130,74 @@ def link_edges(
         ).alias("score"),
     )
     return scored.where(F.col("score") >= threshold)
+
+
+def tfidf_link_scores(
+    cands: DataFrame,
+    threshold: float = 0.6,
+    max_block: int = DEFAULT_MAX_BLOCK,
+    prefix_len: int = 4,
+) -> DataFrame:
+    """K6 alternative scorer: character-3-gram TF-IDF cosine over the same
+    blocked candidate pairs (north_star: "TF-IDF/Jaccard entity-link
+    scoring"). Corpus statistics (document frequency) come from a
+    groupBy(gram) aggregate; the pair score is a gram-equality join --
+    everything stays in native Spark aggregates, no UDFs.
+    """
+    base = cands.select(
+        F.concat_ws("|", "entity_type", "surface").alias("key"),
+        "entity_type",
+        "normalized",
+    )
+    grams = base.select(
+        "key", "entity_type", F.explode(_char_ngrams(F.col("normalized"))).alias("g")
+    ).groupBy("key", "entity_type", "g").agg(F.count("*").alias("tf"))
+
+    n_docs = base.count()
+    df_ = grams.groupBy("g").agg(F.countDistinct("key").alias("df"))
+    weighted = grams.join(F.broadcast(df_), "g").select(
+        "key",
+        "entity_type",
+        "g",
+        (F.col("tf") * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1))).alias("w"),
+    )
+    norms = weighted.groupBy("key").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+
+    # same blocking discipline as link_edges: prefix block only (cheap)
+    blocked = base.withColumn(
+        "block",
+        F.concat_ws("#", "entity_type", F.substring("normalized", 1, prefix_len)),
+    )
+    sizes = blocked.groupBy("block").agg(F.count("*").alias("bn"))
+    blocked = blocked.join(sizes.where(F.col("bn") <= max_block).select("block"), "block")
+    pairs = (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            [F.col("a.block") == F.col("b.block"), F.col("a.key") < F.col("b.key")],
+        )
+        .select(F.col("a.key").alias("ka"), F.col("b.key").alias("kb"))
+        .distinct()
+    )
+    wa = weighted.select(F.col("key").alias("ka"), "g", F.col("w").alias("wa"))
+    wb = weighted.select(F.col("key").alias("kb"), "g", F.col("w").alias("wb"))
+    dots = (
+        pairs.join(wa, "ka")
+        .join(wb, ["kb", "g"])
+        .groupBy("ka", "kb")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("key").alias("ka"), F.col("norm").alias("na"))
+    nb = norms.select(F.col("key").alias("kb"), F.col("norm").alias("nb"))
+    return (
+        dots.join(na, "ka")
+        .join(nb, "kb")
+        .select(
+            F.col("ka").alias("src_key"),
+            F.col("kb").alias("dst_key"),
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )

@@ -1,0 +1,83 @@
+"""A9 evaluation operator vs an independent counter oracle on the
+reference's bundled 104-line example pair, plus TF-IDF link scoring."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from hmm_crf_ner_fromscratch_spark.operators.evaluation import evaluate_tagging
+from hmm_crf_ner_fromscratch_spark.operators.linking import (
+    candidate_entities,
+    tfidf_link_scores,
+)
+from hmm_crf_ner_fromscratch_spark.sources.conll import read_conll
+
+GOLD = "/root/reference/example_data/example_gold_result.txt"
+PRED = "/root/reference/example_data/example_my_result.txt"
+
+
+def test_evaluate_tagging_on_reference_example(spark):
+    gold = read_conll(spark, GOLD, doc_id="ex")
+    pred = read_conll(spark, PRED, doc_id="ex").withColumnRenamed("tags", "tags_pred")
+    got = {r.label: r for r in evaluate_tagging(gold, pred).collect()}
+
+    # independent oracle: plain counters over the two files
+    def tags_of(path):
+        out = []
+        for line in open(path, encoding="utf-8"):
+            line = line.strip()
+            if line:
+                out.append(line.split()[-1])
+        return out
+
+    g, p = tags_of(GOLD), tags_of(PRED)
+    assert len(g) == len(p)
+    tp, fp, fn = Counter(), Counter(), Counter()
+    for gt, pt in zip(g, p):
+        if gt != "O":
+            (tp if gt == pt else fn)[gt] += 1
+        if pt != "O" and pt != gt:
+            fp[pt] += 1
+    labels = set(tp) | set(fp) | set(fn)
+    for lab in labels:
+        r = got[lab]
+        assert (r.tp, r.fp, r.fn) == (tp[lab], fp[lab], fn[lab]), lab
+        want_p = tp[lab] / max(tp[lab] + fp[lab], 1)
+        want_r = tp[lab] / max(tp[lab] + fn[lab], 1)
+        assert abs(r.precision - want_p) < 1e-12
+        assert abs(r.recall - want_r) < 1e-12
+    # micro over entity labels
+    TP, FP, FN = sum(tp.values()), sum(fp.values()), sum(fn.values())
+    micro = got["micro_avg"]
+    assert (micro.tp, micro.fp, micro.fn) == (TP, FP, FN)
+    assert abs(micro.precision - TP / (TP + FP)) < 1e-12
+    # the example pair differs only in two B-ORG -> B-PER flips
+    assert got["B-ORG"].fn == 2 and got["B-PER"].fp == 2
+
+
+def test_tfidf_link_scores(spark):
+    rows = [
+        ("c", 0, "user", None, 0, 2, "ORG", "Barnett Banks Inc."),
+        ("c", 1, "user", None, 0, 2, "ORG", "Barnett Banks"),
+        ("c", 2, "user", None, 0, 1, "ORG", "Barclays Capital"),
+        ("c", 3, "user", None, 0, 1, "ORG", "Barxx Totally Other"),
+    ]
+    m = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, tool string, "
+        "span_start int, span_end int, entity_type string, surface string",
+    )
+    scored = tfidf_link_scores(candidate_entities(m), threshold=0.0).collect()
+    s = {
+        (min(r.src_key, r.dst_key), max(r.src_key, r.dst_key)): r.score
+        for r in scored
+    }
+    near = s[("ORG|Barnett Banks", "ORG|Barnett Banks Inc.")]
+    far = s.get(("ORG|Barclays Capital", "ORG|Barnett Banks"), 0.0)
+    # tiny-corpus IDF discounts the shared 'bar' grams; 0.6 is the bound
+    assert near > 0.6
+    assert near > far
+    for score in s.values():
+        assert -1e-9 <= score <= 1.0 + 1e-9
