@@ -200,14 +200,31 @@ def build_registry(sentences: DataFrame) -> CRFModel:
     )
 
 
+# per-worker-process DecodeTables cache: built once per (worker, broadcast)
+_TABLES_CACHE: dict[int, DecodeTables] = {}
+
+
+def _worker_tables(bc) -> DecodeTables:
+    key = id(bc.value)
+    tables = _TABLES_CACHE.get(key)
+    if tables is None:
+        _TABLES_CACHE.clear()  # one model at a time per worker
+        tables = DecodeTables(bc.value)
+        _TABLES_CACHE[key] = tables
+    return tables
+
+
 def decode_crf(
     sentences: DataFrame,
     model: CRFModel,
     token_col: str = "tokens",
     out_col: str = "tags_pred",
 ) -> DataFrame:
-    """W2: broadcast the prebuilt decode tables; per-sentence vectorized
-    float32 Viterbi inside mapInPandas."""
+    """W2: the compact model is broadcast; each python worker builds its
+    DecodeTables ONCE and caches it process-wide (module-level cache keyed
+    by id -- workers are reused across tasks). Shipping prebuilt tables
+    instead was measured slower: for a 1.4M-feature model the pickled
+    tables dwarf the model and the broadcast dominates."""
     spark = sentences.sparkSession
     bc = spark.sparkContext.broadcast(model)
     from pyspark.sql.types import StructField, StructType
@@ -219,7 +236,7 @@ def decode_crf(
     cols = [f.name for f in sentences.schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tables = DecodeTables(bc.value)
+        tables = _worker_tables(bc)
         for pdf in batches:
             out = pdf[cols].copy()
             out[out_col] = [

@@ -18,11 +18,14 @@ of the DAG.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.crf import CRFModel
+from ..operators.crf import decode_crf
 from ..operators.graph import build_graph
 from ..operators.hmm import HMMModel, decode_hmm
 from ..operators.mentions import extract_mentions
@@ -37,6 +40,8 @@ class PipelineResult:
     executed: list[str] = field(default_factory=list)
     skipped: list[str] = field(default_factory=list)
     snapshots: dict = field(default_factory=dict)
+    # per-stage throughput: stage -> {"sec": wall, "rows": out, "rows_per_sec": r}
+    metrics: dict = field(default_factory=dict)
 
 
 class KGPipeline:
@@ -71,10 +76,18 @@ class KGPipeline:
             result.skipped.append(name)
             result.snapshots[name] = snap
             return snap
+        t0 = time.time()
         df = compute()
         snap = self.io.write(
             name, df, inputs, result.run_id, partition_by=partition_by
         )
+        wall = time.time() - t0
+        rows = self.io.manifest(name)["row_count"]
+        result.metrics[name] = {
+            "sec": round(wall, 2),
+            "rows": rows,
+            "rows_per_sec": round(rows / wall) if wall > 0 else None,
+        }
         result.executed.append(name)
         result.snapshots[name] = snap
         return snap
@@ -85,14 +98,19 @@ class KGPipeline:
         res = PipelineResult(run_id=new_run_id())
         io = self.io
 
+        def run_decoder():
+            turns = salted_turns(
+                tokenize_turns(transcripts), bucket=self.salt_bucket
+            )
+            if isinstance(self.model, CRFModel):
+                return decode_crf(turns, self.model)
+            return decode_hmm(turns, self.model)
+
         s_decoded = self._stage(
             res,
             "decoded",
-            [input_snapshot, "hmm:" + _model_fingerprint(self.model)],
-            lambda: decode_hmm(
-                salted_turns(tokenize_turns(transcripts), bucket=self.salt_bucket),
-                self.model,
-            ),
+            [input_snapshot, "labeler:" + _model_fingerprint(self.model)],
+            run_decoder,
         )
         s_mentions = self._stage(
             res,
@@ -130,13 +148,20 @@ class KGPipeline:
         return res
 
 
-def _model_fingerprint(model: HMMModel) -> str:
+def _model_fingerprint(model) -> str:
     import hashlib
 
     h = hashlib.sha256()
-    h.update(model.pi.tobytes())
-    h.update(model.A.tobytes())
-    h.update(model.B.tobytes())
+    if isinstance(model, CRFModel):
+        h.update(b"crf")
+        h.update(model.weights.tobytes())
+        h.update(str(len(model.feature_index)).encode())
+        h.update("\x1f".join(model.tags).encode())
+    else:
+        h.update(b"hmm")
+        h.update(model.pi.tobytes())
+        h.update(model.A.tobytes())
+        h.update(model.B.tobytes())
     return h.hexdigest()[:16]
 
 

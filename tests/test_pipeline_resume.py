@@ -61,6 +61,39 @@ def test_pipeline_run_resume_invalidate(spark, english_golden, tmp_path):
     assert r4.executed == ["decoded", "mentions", "triples", "nodes", "edges"]
 
 
+def test_pipeline_with_crf_labeler(spark, tmp_path):
+    """north_star: the pipeline accepts the CRF labeler as the mention-
+    detection stage, interchangeably with the HMM."""
+    from hmm_crf_ner_fromscratch_spark.operators.crf import train_crf
+
+    rows = [
+        (0, ["John", "visits", "Paris"], ["B-PER", "O", "B-LOC"]),
+        (1, ["Mary", "Smith", "visits", "London"], ["B-PER", "I-PER", "O", "B-LOC"]),
+    ]
+    crf_train = spark.createDataFrame(
+        rows, "sent_id long, tokens array<string>, tags array<string>"
+    )
+    model, _ = train_crf(crf_train, epochs=6, lr=0.5)
+
+    tx = spark.createDataFrame(
+        [("c0", 0, "user", "John visits Paris", None),
+         ("c0", 1, "user", "Mary Smith visits London", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+
+    pipe = KGPipeline(spark, str(tmp_path / "kg"), model, salt_bucket=16)
+    res = pipe.run(tx, transcripts_snapshot(tx))
+    assert res.executed == ["decoded", "mentions", "triples", "nodes", "edges"]
+    mentions = {
+        (r.surface, r.entity_type) for r in pipe.io.read("mentions").collect()
+    }
+    assert ("Paris", "LOC") in mentions and ("Mary Smith", "PER") in mentions
+    # per-stage throughput metrics populated
+    for stage in res.executed:
+        m = res.metrics[stage]
+        assert m["sec"] > 0 and m["rows"] >= 0
+
+
 def test_lineage_rows(spark, english_golden, tmp_path):
     sents = load_eval_sentences(english_golden["val"])[:100]
     tx = synth_transcripts(spark, 50, seed=2, eval_sentences=sents)

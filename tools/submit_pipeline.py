@@ -49,7 +49,11 @@ def main():
     res = pipe.run(tx, transcripts_snapshot(tx))
     print(f"run_id={res.run_id} executed={res.executed} skipped={res.skipped}")
     for stage in ("decoded", "mentions", "triples", "nodes", "edges"):
-        print(f"stage={stage} rows={pipe.io.manifest(stage)['row_count']}")
+        m = res.metrics.get(stage, {})
+        print(
+            f"stage={stage} rows={pipe.io.manifest(stage)['row_count']}"
+            + (f" sec={m['sec']} rows/s={m['rows_per_sec']}" if m else " (skipped)")
+        )
     spark.stop()
 
 
