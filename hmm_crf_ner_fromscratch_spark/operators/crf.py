@@ -235,13 +235,15 @@ def decode_crf(
     )
     cols = [f.name for f in sentences.schema.fields]
 
+    from ..functions.crf import viterbi_decode_crf_batch
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tables = _worker_tables(bc)
         for pdf in batches:
             out = pdf[cols].copy()
-            out[out_col] = [
-                viterbi_decode_crf(list(wl), tables) for wl in pdf[token_col]
-            ]
+            out[out_col] = viterbi_decode_crf_batch(
+                [list(wl) for wl in pdf[token_col]], tables
+            )
             yield out
 
     return sentences.mapInPandas(run, schema=out_schema)

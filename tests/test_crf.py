@@ -140,11 +140,18 @@ def _random_model(rng, n_words=8, n_tags=3, n_sents=6, max_len=7):
 
 def test_decode_property_vs_oracle():
     """200 random (model, sentence) pairs: vectorized decode == oracle,
-    path-for-path (float32, first-index tie-breaks)."""
+    path-for-path (float32, first-index tie-breaks); the batch decoder
+    (memoized, used in production) must agree on the whole batch."""
+    from hmm_crf_ner_fromscratch_spark.functions.crf import (
+        viterbi_decode_crf_batch,
+    )
+
     rng = random.Random(1234)
     for trial in range(20):
         model, sents, vocab = _random_model(rng)
         tables = DecodeTables(model)
+        batch = []
+        wants = []
         for _ in range(10):
             L = rng.randint(1, 9)
             # mix of seen and unseen words
@@ -156,6 +163,11 @@ def test_decode_property_vs_oracle():
                 words, model.weights, model.feature_index, model.tags
             )
             assert got == want, f"trial {trial}: {words}"
+            batch.append(words)
+            wants.append(want)
+        batch.insert(3, [])  # empty sentence inside the batch
+        wants.insert(3, [])
+        assert viterbi_decode_crf_batch(batch, tables) == wants, f"batch {trial}"
 
 
 def test_gradient_matches_finite_differences():
