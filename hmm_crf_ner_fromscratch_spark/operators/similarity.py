@@ -169,6 +169,115 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    n_iter: int = 8,
+    sample: int = 4096,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Driver-side Lloyd iterations over a deterministic sample -- the IVF
+    coarse quantizer. The sample (and therefore the codebook) is tiny and
+    driver-sized by design; assignment of the full corpus is distributed
+    (see :func:`ivf_topk`). Returns (n_clusters, dim) float64 ndarray."""
+    import numpy as np
+
+    rows = (
+        emb.select(id_col, vec_col)
+        .where(F.pmod(F.xxhash64(id_col, F.lit(seed)), F.lit(97)) < F.lit(32))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    if len(X) < n_clusters:
+        raise ValueError(f"sample too small for {n_clusters} clusters")
+    # deterministic init: first occurrence order of the sample
+    C = X[:n_clusters].copy()
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_clusters):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C
+
+
+def _assign_cluster(qdf: DataFrame, centroids, q_col: str = "q") -> DataFrame:
+    """Distributed nearest-centroid assignment: centroids folded into the
+    plan as literals (tiny codebook), squared L2 on the quantized ints."""
+    import numpy as np
+
+    Cq = np.round(np.asarray(centroids) * QUANT).astype(np.int64)
+    dists = []
+    for c in range(Cq.shape[0]):
+        cvec = F.array(*[F.lit(int(v)) for v in Cq[c]])
+        d2 = F.aggregate(
+            F.zip_with(q_col, cvec, lambda u, v: (u - v) * (u - v)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        dists.append(d2)
+    arr = F.array(*dists)
+    return qdf.withColumn(
+        "cluster", F.array_position(arr, F.array_min(arr)).cast("int") - 1
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer, corpus bucketed by
+    nearest centroid once, queries probe their ``n_probe`` nearest cells.
+    The scale path for *clustered* embeddings (real-model vectors): cells
+    carve the space by density, unlike data-oblivious LSH planes."""
+    import numpy as np
+
+    C = kmeans_centroids(emb, n_clusters=n_clusters, vec_col=vec_col, id_col=id_col)
+    base = quantized(emb, vec_col, id_col)
+    corpus = _assign_cluster(base, C)
+
+    # query probes: n_probe nearest centroids, exploded
+    Cq = np.round(C * QUANT).astype(np.int64)
+    qrows = base.where(F.col("vec_id").isin(list(query_ids))).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.array(r.q, dtype=np.int64)
+        d2 = ((Cq - qv[None, :]) ** 2).sum(axis=1)
+        for c in np.argsort(d2, kind="stable")[:n_probe]:
+            probe_rows.append((int(r.vec_id), list(r.q), int(r.nrm), int(c)))
+    spark = emb.sparkSession
+    queries = spark.createDataFrame(
+        probe_rows, "query_id long, qq array<long>, qn long, cluster int"
+    )
+    pairs = F.broadcast(queries).join(
+        corpus.select(F.col("vec_id").alias("neighbor_id"), "q", "nrm", "cluster"),
+        "cluster",
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    dot = F.aggregate(
+        F.zip_with("qq", "q", lambda u, v: u * v),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", _sim(dot, F.col("qn"), F.col("nrm")).alias("sim")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def cosine_near_duplicates(
     emb: DataFrame,
     threshold: float = 0.9,

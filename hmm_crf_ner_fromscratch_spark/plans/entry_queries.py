@@ -850,6 +850,15 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, query_ids=list(range(8)), k=10, n_planes=4)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF (k-means coarse quantizer) approximate NN -- rows-only; the
+    recall contract on clustered vectors is asserted in tests."""
+    from ..operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, query_ids=list(range(8)), k=10, n_clusters=8, n_probe=3)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-payload byte-histogram features over synthetic assets --
     rows-only (binary plumbing; no SQL oracle)."""
@@ -967,6 +976,7 @@ QUERIES = {
     "langid_confusion": q_langid_confusion,
     "cosine_neardup": q_cosine_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
     "word_count": q_word_count,
     "initial_token_count": q_initial_token_count,

@@ -106,6 +106,34 @@ def test_lsh_topk_vs_brute_force(spark):
     assert {q for q, _ in ap_pairs} == set(qids)
 
 
+def test_ivf_topk_on_clustered_vectors(spark):
+    """IVF is the scale path for clustered embeddings: on a synthetic
+    mixture (8 tight clusters) recall@10 must be high, since true
+    neighbors share the query's cell."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(8, 64) * 5
+    rows = []
+    for i in range(800):
+        c = i % 8
+        v = centers[c] + rng.randn(64) * 0.3
+        rows.append((i, [float(x) for x in v], c))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    qids = list(range(8))
+    bf = brute_force_topk(emb, qids, k=10)
+    from hmm_crf_ner_fromscratch_spark.operators.similarity import ivf_topk
+
+    approx = ivf_topk(emb, qids, k=10, n_clusters=8, n_probe=2)
+    bf_pairs = {(r.query_id, r.neighbor_id): r.sim for r in bf.collect()}
+    ap_pairs = {(r.query_id, r.neighbor_id): r.sim for r in approx.collect()}
+    for key, v in ap_pairs.items():
+        if key in bf_pairs:
+            assert v == bf_pairs[key]  # identical quantized arithmetic
+    recall = len(set(ap_pairs) & set(bf_pairs)) / len(bf_pairs)
+    assert recall >= 0.9, recall
+
+
 def test_textstats_sanity(docs):
     qs = quality_stats(docs).collect()
     for r in qs[:50]:
