@@ -24,6 +24,79 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src_key",
+    dst: str = "dst_key",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") -- O(log n)
+    rounds, the right algorithm for adversarial (long-path / high-
+    diameter) graphs where min-label propagation needs O(diameter).
+
+    large-star: per node u, attach every strictly-larger neighbor to the
+    minimum of N(u) ∪ {u}. small-star: orient edges large->small, attach
+    u and its (smaller) neighbors to the minimum. Converged when the
+    small-star output is a fixpoint; the edge set is then (node -> root).
+    Same contract as :func:`connected_components`.
+    """
+    spark = edges.sparkSession
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.select(F.col("u"), F.col("v")).unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("u", "mn").alias("m"))
+        return (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient large -> small
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = oriented.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("u", "mn").alias("m"))
+        joined = oriented.join(m, "u")
+        out = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return out
+
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint()
+        sig = e.agg(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).first()
+        if prev_sig == (sig.n, sig.h):
+            break
+        prev_sig = (sig.n, sig.h)
+
+    roots = e.select(F.col("v").alias("key")).distinct().withColumn(
+        "component", F.col("key")
+    )
+    return e.select(F.col("u").alias("key"), F.col("v").alias("component")).unionByName(
+        roots
+    ).distinct()
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src_key",

@@ -123,15 +123,54 @@ def test_linking_blocks_and_scores(spark):
 
 
 def test_connected_components_chain_and_clique(spark):
+    from hmm_crf_ner_fromscratch_spark.operators.components import (
+        connected_components_star,
+    )
+
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "z"), ("x", "z")],
         "src_key string, dst_key string",
     )
-    comp = {r.key: r.component for r in connected_components(edges).collect()}
-    assert comp == {
+    want = {
         "a": "a", "b": "a", "c": "a", "d": "a",
         "x": "x", "y": "x", "z": "x",
     }
+    comp = {r.key: r.component for r in connected_components(edges).collect()}
+    assert comp == want
+    star = {r.key: r.component for r in connected_components_star(edges).collect()}
+    assert star == want
+
+
+def test_connected_components_star_random_graphs(spark):
+    """Property: large-star/small-star agrees with min-label propagation
+    on random graphs, including a long path (the min-label worst case)."""
+    import random
+
+    from hmm_crf_ner_fromscratch_spark.operators.components import (
+        connected_components_star,
+    )
+
+    rng = random.Random(99)
+    cases = []
+    for trial in range(4):
+        n = rng.randint(8, 30)
+        nodes = [f"n{trial}_{i:02d}" for i in range(n)]
+        m = rng.randint(n // 2, 2 * n)
+        cases.append(
+            [(rng.choice(nodes), rng.choice(nodes)) for _ in range(m)]
+        )
+    # 40-node path: min-label needs ~40 rounds, star needs O(log n)
+    path = [(f"p{i:02d}", f"p{i + 1:02d}") for i in range(40)]
+    cases.append(path)
+
+    for edges_py in cases:
+        edges_py = [(a, b) for a, b in edges_py if a != b]
+        if not edges_py:
+            continue
+        e = spark.createDataFrame(edges_py, "src_key string, dst_key string")
+        base = {r.key: r.component for r in connected_components(e, max_iter=60).collect()}
+        star = {r.key: r.component for r in connected_components_star(e).collect()}
+        assert star == base, f"mismatch on {edges_py[:5]}..."
 
 
 def test_build_graph_e2e(spark, english_golden):
