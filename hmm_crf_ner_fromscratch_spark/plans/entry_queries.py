@@ -903,7 +903,6 @@ def q_kg_pipeline(spark, sf_dir):
     from ..operators.graph import build_graph
     from ..operators.hmm import decode_hmm, train_hmm
     from ..operators.mentions import extract_mentions
-    from ..operators.relations import template_triples
 
     docs = _toks(spark, sf_dir)
     turns = docs.select(

@@ -31,6 +31,7 @@ def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 15
     lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
     out_dir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/crf_full"
+    l2 = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark(app_name="crf-full", master="local[32]")
@@ -74,7 +75,7 @@ def main():
         print(rec, flush=True)
 
     model, losses = train_crf(
-        train, model=registry, epochs=epochs, lr=lr,
+        train, model=registry, epochs=epochs, lr=lr, l2=l2,
         optimizer="adagrad", epoch_callback=cb,
     )
     model.save(os.path.join(out_dir, "model"))
