@@ -24,7 +24,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.crf import (
@@ -138,13 +138,14 @@ def build_registry(sentences: DataFrame) -> CRFModel:
     for p in pieces[1:]:
         allf = allf.unionByName(p)
 
+    # distinct features + first-seen position stay distributed (hash agg);
+    # id assignment happens driver-side after collect — the registry must
+    # fit on the driver regardless (it becomes the broadcast weight
+    # vector), and sorting locally avoids a row_number() over a global
+    # Window, which would shuffle every distinct feature to one partition.
     reg_rows = (
         allf.groupBy("kind", "rule_idx", "obs", "prev", "cur")
         .agg(F.min(F.struct("sent", "pos", "ro")).alias("first_seen"))
-        .withColumn(
-            "fid",
-            F.row_number().over(Window.orderBy("first_seen")).cast("long") - 1,
-        )
         .collect()
     )
 
@@ -162,15 +163,15 @@ def build_registry(sentences: DataFrame) -> CRFModel:
     ctx.unpersist()
     tags = [r.tag for r in sorted(tag_rows, key=lambda r: tuple(r.first_seen))]
 
-    reg_rows.sort(key=lambda r: r.fid)
+    reg_rows.sort(key=lambda r: tuple(r.first_seen))
     kinds = [r.kind for r in reg_rows]
     rule_idxs = [r.rule_idx for r in reg_rows]
     obss = [r.obs for r in reg_rows]
     prevs = [r.prev for r in reg_rows]
     curs = [r.cur for r in reg_rows]
     feature_index = {
-        build_feature_key(r.kind, r.rule_idx, r.obs, r.prev, r.cur): int(r.fid)
-        for r in reg_rows
+        build_feature_key(r.kind, r.rule_idx, r.obs, r.prev, r.cur): fid
+        for fid, r in enumerate(reg_rows)
     }
 
     # F2: pure-B cross product over tags + START/STOP, skipping *->START

@@ -617,12 +617,16 @@ def q_top_customers(spark, sf_dir):
     joined = totals.join(c, totals["o_custkey"] == c["c_custkey"]).join(
         F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
     )
-    w = Window.orderBy(F.desc("total_cents"), F.col("c_custkey"))
-    return (
+    # top-k via sort+limit (TakeOrderedAndProject: per-partition heaps, no
+    # all-rows-to-one-partition shuffle); the rank window then runs over
+    # only the 10 surviving rows.
+    top = (
         joined.select("c_custkey", "c_name", F.col("n_name").alias("nation"), "total_cents")
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 10)
+        .orderBy(F.desc("total_cents"), F.col("c_custkey"))
+        .limit(10)
     )
+    w = Window.orderBy(F.desc("total_cents"), F.col("c_custkey"))
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 SQL_TOP_CUSTOMERS = """
