@@ -50,6 +50,72 @@ B_TEMPLATES: list[tuple[str, tuple[int, ...]]] = [
 ]
 
 
+# ---------------------------------------------------------------------
+# Observation transforms (extended templates). The reference's templates
+# are purely lexical (identity transform "w"); the extended set adds the
+# standard NER generalization features -- word shape, lowercase, and
+# character prefixes/suffixes -- which fire on UNSEEN words too. Each
+# transform is one Python function used by BOTH the Spark registry build
+# (via a vectorized pandas UDF) and the decode/train kernels, so feature
+# keys agree everywhere by construction.
+# ---------------------------------------------------------------------
+
+def word_shape(w: str) -> str:
+    """Collapsed word shape: uppercase run -> X, lowercase -> x,
+    digit -> d, other chars kept; consecutive duplicates collapsed
+    ("McDonald's" -> "XxXx'x", "1984" -> "d")."""
+    out: list[str] = []
+    last = ""
+    for ch in w:
+        c = "X" if ch.isupper() else "x" if ch.islower() else "d" if ch.isdigit() else ch
+        if c != last:
+            out.append(c)
+            last = c
+    return "".join(out)
+
+
+def apply_xform(word: str, xform: str) -> str:
+    if xform == "w":
+        return word
+    if xform == "shape":
+        return word_shape(word)
+    if xform == "lower":
+        return word.lower()
+    if xform.startswith("pre"):
+        return word[: int(xform[3:])]
+    if xform.startswith("suf"):
+        return word[-int(xform[3:]):]
+    raise ValueError(f"unknown xform {xform!r}")
+
+
+def normalize_templates(tpls) -> list[tuple[str, tuple[int, ...], str]]:
+    """Accept (prefix, offsets) 2-tuples (identity transform) or
+    (prefix, offsets, xform) 3-tuples; return normalized 3-tuples."""
+    out = []
+    for t in tpls:
+        if len(t) == 2:
+            out.append((t[0], tuple(t[1]), "w"))
+        else:
+            out.append((t[0], tuple(t[1]), t[2]))
+    return out
+
+
+# Extended unigram template set: the 10 reference rules plus shape /
+# lowercase / prefix / suffix generalization rules. Bigram templates stay
+# the reference set (observation-bigram features over transforms explode
+# the feature space for little gain).
+EXTENDED_U_TEMPLATES: list[tuple[str, tuple[int, ...], str]] = (
+    normalize_templates(U_TEMPLATES)
+    + [
+        ("US1", (-1,), "shape"), ("US2", (0,), "shape"), ("US3", (1,), "shape"),
+        ("US4", (-1, 0), "shape"), ("US5", (0, 1), "shape"),
+        ("UL0", (0,), "lower"),
+        ("UP2", (0,), "pre2"), ("UP3", (0,), "pre3"), ("UP4", (0,), "pre4"),
+        ("UX2", (0,), "suf2"), ("UX3", (0,), "suf3"), ("UX4", (0,), "suf4"),
+    ]
+)
+
+
 def word_at(words: list[str], idx: int) -> str:
     """BOS/EOS-padded positional read (crf_ner.py:120-128)."""
     if 0 <= idx < len(words):
@@ -57,8 +123,12 @@ def word_at(words: list[str], idx: int) -> str:
     return "BOS" if idx < 0 else "EOS"
 
 
-def obs_string(words: list[str], pos: int, offsets: tuple[int, ...]) -> str:
-    return "/".join(word_at(words, pos + o) for o in offsets)
+def obs_string(
+    words: list[str], pos: int, offsets: tuple[int, ...], xform: str = "w"
+) -> str:
+    if xform == "w":
+        return "/".join(word_at(words, pos + o) for o in offsets)
+    return "/".join(apply_xform(word_at(words, pos + o), xform) for o in offsets)
 
 
 @dataclass
@@ -79,11 +149,18 @@ class CRFModel:
     prevs: list[str]
     curs: list[str]
     weights: np.ndarray = field(default=None)
+    # template sets (normalized 3-tuples); default = the reference's 21
+    # hardcoded templates. The extended quality mode passes
+    # EXTENDED_U_TEMPLATES at registry-build time.
+    u_templates: list = None
+    b_templates: list = None
 
     def __post_init__(self):
         if self.weights is None:
             self.weights = np.zeros(len(self.feature_index), dtype=np.float32)
         self.weights = np.asarray(self.weights, dtype=np.float32)
+        self.u_templates = normalize_templates(self.u_templates or U_TEMPLATES)
+        self.b_templates = normalize_templates(self.b_templates or B_TEMPLATES)
 
     @property
     def n_features(self) -> int:
@@ -100,6 +177,8 @@ class CRFModel:
             "obss": self.obss,
             "prevs": self.prevs,
             "curs": self.curs,
+            "u_templates": [[p, list(o), x] for p, o, x in self.u_templates],
+            "b_templates": [[p, list(o), x] for p, o, x in self.b_templates],
         }
         with open(os.path.join(path, "meta.json"), "w", encoding="utf-8") as f:
             json.dump(meta, f)
@@ -111,12 +190,14 @@ class CRFModel:
         return cls(weights=np.load(os.path.join(path, "weights.npy")), **meta)
 
 
-def build_feature_key(kind, rule_idx, obs, prev, cur) -> str:
+def build_feature_key(
+    kind, rule_idx, obs, prev, cur, u_templates=None, b_templates=None
+) -> str:
     """Reference-format flat key (crf_ner.py:133-147)."""
     if kind == "U":
-        return f"{U_TEMPLATES[rule_idx][0]}:{obs}_{cur}"
+        return f"{(u_templates or U_TEMPLATES)[rule_idx][0]}:{obs}_{cur}"
     if kind == "BO":
-        return f"{B_TEMPLATES[rule_idx][0]}:{obs}_{prev}_{cur}"
+        return f"{(b_templates or B_TEMPLATES)[rule_idx][0]}:{obs}_{prev}_{cur}"
     return f"B:{prev}_{cur}"
 
 
@@ -128,6 +209,8 @@ class DecodeTables:
         K = len(model.tags)
         self.K = K
         self.tags = model.tags
+        self.u_templates = model.u_templates
+        self.b_templates = model.b_templates
         tag_idx = {t: i for i, t in enumerate(model.tags)}
         w = model.weights
 
@@ -191,16 +274,16 @@ class DecodeTables:
 
     def u_at(self, words, pos) -> np.ndarray:
         v = np.zeros(self.K, dtype=np.float32)
-        for r, (_, offs) in enumerate(U_TEMPLATES):
-            vec = self.u_vec.get((r, obs_string(words, pos, offs)))
+        for r, (_, offs, xf) in enumerate(self.u_templates):
+            vec = self.u_vec.get((r, obs_string(words, pos, offs, xf)))
             if vec is not None:
                 v += vec
         return v
 
     def u_stop_at(self, words, pos) -> np.float32:
         s = np.float32(0.0)
-        for r, (_, offs) in enumerate(U_TEMPLATES):
-            x = self.u_stop.get((r, obs_string(words, pos, offs)))
+        for r, (_, offs, xf) in enumerate(self.u_templates):
+            x = self.u_stop.get((r, obs_string(words, pos, offs, xf)))
             if x is not None:
                 s += x
         return s
@@ -209,8 +292,8 @@ class DecodeTables:
         """dp[0]: U at pos 0 + B_obs(START->cur) + B_pure(START->cur),
         matching crf_ner.py:396-424 accumulation order."""
         v = self.u_at(words, 0).copy()
-        for r, (_, offs) in enumerate(B_TEMPLATES):
-            vec = self.bo_start.get((r, obs_string(words, 0, offs)))
+        for r, (_, offs, xf) in enumerate(self.b_templates):
+            vec = self.bo_start.get((r, obs_string(words, 0, offs, xf)))
             if vec is not None:
                 v += vec
         v += self.bp_start
@@ -220,8 +303,8 @@ class DecodeTables:
         """(K, K) transition potentials at position pos >= 1 plus the U
         broadcast, matching crf_ner.py:427-458."""
         trans = np.zeros((self.K, self.K), dtype=np.float32)
-        for r, (_, offs) in enumerate(B_TEMPLATES):
-            cells = self.bo_cells.get((r, obs_string(words, pos, offs)))
+        for r, (_, offs, xf) in enumerate(self.b_templates):
+            cells = self.bo_cells.get((r, obs_string(words, pos, offs, xf)))
             if cells:
                 for pi, ci, wt in cells:
                     trans[pi, ci] += wt
@@ -233,8 +316,8 @@ class DecodeTables:
         (crf_ner.py:469-496)."""
         T = len(words)
         v = np.zeros(self.K, dtype=np.float32)
-        for r, (_, offs) in enumerate(B_TEMPLATES):
-            vec = self.bo_stop.get((r, obs_string(words, T, offs)))
+        for r, (_, offs, xf) in enumerate(self.b_templates):
+            vec = self.bo_stop.get((r, obs_string(words, T, offs, xf)))
             if vec is not None:
                 v += vec
         v += self.bp_stop
@@ -283,7 +366,8 @@ def viterbi_decode_crf_batch(
     K = tables.K
     if K == 0:
         return [[] for _ in token_lists]
-    n_rules_u = len(U_TEMPLATES)
+    u_tpls, b_tpls = tables.u_templates, tables.b_templates
+    n_rules_u = len(u_tpls)
     zero_vec = np.zeros(K, dtype=np.float32)
 
     # flatten positions: sentence id + local position (0..T-1), plus one
@@ -299,9 +383,9 @@ def viterbi_decode_crf_batch(
     # per-rule memo caches for this batch
     u_cache: list[dict] = [dict() for _ in range(n_rules_u)]
     us_cache: list[dict] = [dict() for _ in range(n_rules_u)]
-    bo_cache: list[dict] = [dict() for _ in range(len(B_TEMPLATES))]
-    bos_cache: list[dict] = [dict() for _ in range(len(B_TEMPLATES))]
-    bostop_cache: list[dict] = [dict() for _ in range(len(B_TEMPLATES))]
+    bo_cache: list[dict] = [dict() for _ in range(len(b_tpls))]
+    bos_cache: list[dict] = [dict() for _ in range(len(b_tpls))]
+    bostop_cache: list[dict] = [dict() for _ in range(len(b_tpls))]
 
     for i in sent_idx:
         words = token_lists[i]
@@ -309,18 +393,18 @@ def viterbi_decode_crf_batch(
         # --- U matrix for positions 0..T-1 and STOP scalar at T ---
         U = np.zeros((T, K), dtype=np.float32)
         u_stop = np.float32(0.0)
-        for r, (_, offs) in enumerate(U_TEMPLATES):
+        for r, (_, offs, xf) in enumerate(u_tpls):
             cache, scache = u_cache[r], us_cache[r]
             vec_map = tables.u_vec
             for t in range(T):
-                obs = obs_string(words, t, offs)
+                obs = obs_string(words, t, offs, xf)
                 v = cache.get(obs)
                 if v is None:
                     v = vec_map.get((r, obs), zero_vec)
                     cache[obs] = v
                 if v is not zero_vec:
                     U[t] += v
-            obs = obs_string(words, T, offs)
+            obs = obs_string(words, T, offs, xf)
             s = scache.get(obs)
             if s is None:
                 s = tables.u_stop.get((r, obs), np.float32(0.0))
@@ -329,8 +413,8 @@ def viterbi_decode_crf_batch(
 
         # --- start vector ---
         dp = U[0].copy()
-        for r, (_, offs) in enumerate(B_TEMPLATES):
-            vec = tables.bo_start.get((r, obs_string(words, 0, offs)))
+        for r, (_, offs, xf) in enumerate(b_tpls):
+            vec = tables.bo_start.get((r, obs_string(words, 0, offs, xf)))
             if vec is not None:
                 dp += vec
         dp += tables.bp_start
@@ -340,8 +424,8 @@ def viterbi_decode_crf_batch(
         rng = np.arange(K)
         for t in range(1, T):
             trans = None
-            for r, (_, offs) in enumerate(B_TEMPLATES):
-                obs = obs_string(words, t, offs)
+            for r, (_, offs, xf) in enumerate(b_tpls):
+                obs = obs_string(words, t, offs, xf)
                 cache = bo_cache[r]
                 cells = cache.get(obs, False)
                 if cells is False:
@@ -363,8 +447,8 @@ def viterbi_decode_crf_batch(
 
         # --- termination ---
         stop = None
-        for r, (_, offs) in enumerate(B_TEMPLATES):
-            obs = obs_string(words, T, offs)
+        for r, (_, offs, xf) in enumerate(b_tpls):
+            obs = obs_string(words, T, offs, xf)
             cache = bostop_cache[r]
             vec = cache.get(obs, False)
             if vec is False:

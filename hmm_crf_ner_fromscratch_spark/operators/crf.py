@@ -40,9 +40,15 @@ from ..functions.crf import (
 )
 
 
-def _context_frame(sentences: DataFrame) -> DataFrame:
+def _context_frame(sentences: DataFrame, xforms: tuple = ()) -> DataFrame:
     """Exploded token frame with clamped context word columns w_m2..w_p2,
-    prev/cur tags, and a STOP row per sentence (pos = len(tokens))."""
+    prev/cur tags, and a STOP row per sentence (pos = len(tokens)).
+
+    For each non-identity transform in ``xforms`` the five context columns
+    are additionally emitted transformed (``w_0__shape`` etc.) via a
+    vectorized pandas UDF running the SAME Python transform the
+    decode/train kernels use -- Spark-built feature keys and kernel-built
+    keys agree by construction."""
     order_cols = [c for c in ("doc_id", "sent_id") if c in sentences.columns]
     sent_key = F.struct(*[F.col(c) for c in order_cols]).alias("sent")
     toks, tags = F.col("tokens"), F.col("tags")
@@ -91,39 +97,72 @@ def _context_frame(sentences: DataFrame) -> DataFrame:
         F.element_at("tags", -1).alias("prev"),
         F.lit(STOP_TAG).alias("cur"),
     )
-    return body.unionByName(stop)
+    out = body.unionByName(stop)
+    for xf in xforms:
+        if xf == "w":
+            continue
+        udf = _xform_udf(xf)
+        for base_col in _OFF_COL.values():
+            out = out.withColumn(f"{base_col}__{xf}", udf(F.col(base_col)))
+    return out
 
 
 _OFF_COL = {-2: "w_m2", -1: "w_m1", 0: "w_0", 1: "w_p1", 2: "w_p2"}
 
 
-def _obs_col(offsets: tuple[int, ...]):
-    return F.concat_ws("/", *[F.col(_OFF_COL[o]) for o in offsets])
+def _xform_udf(xf: str):
+    from pyspark.sql.types import StringType
+
+    from ..functions.crf import apply_xform
+
+    @F.pandas_udf(StringType())
+    def _udf(col: pd.Series) -> pd.Series:
+        return col.map(lambda w: apply_xform(w, xf))
+
+    return _udf
 
 
-def build_registry(sentences: DataFrame) -> CRFModel:
+def _obs_col(offsets: tuple[int, ...], xform: str = "w"):
+    suffix = "" if xform == "w" else f"__{xform}"
+    return F.concat_ws("/", *[F.col(_OFF_COL[o] + suffix) for o in offsets])
+
+
+def build_registry(
+    sentences: DataFrame,
+    u_templates=None,
+    b_templates=None,
+) -> CRFModel:
     """F1+F2: scan gold paths once, assign feature ids in first-encounter
     order (sent, pos, template order), then append the pure-B cross
-    product. Returns a CRFModel with zero weights."""
-    ctx = _context_frame(sentences).persist()
+    product. Returns a CRFModel with zero weights.
+
+    ``u_templates``/``b_templates`` default to the reference's 21
+    templates; pass ``EXTENDED_U_TEMPLATES`` for the quality mode with
+    shape/prefix/suffix generalization features."""
+    from ..functions.crf import normalize_templates
+
+    u_tpls = normalize_templates(u_templates or U_TEMPLATES)
+    b_tpls = normalize_templates(b_templates or B_TEMPLATES)
+    xforms = tuple(sorted({xf for _, _, xf in u_tpls + b_tpls if xf != "w"}))
+    ctx = _context_frame(sentences, xforms=xforms).persist()
 
     pieces = []
     rule_order = 0
-    for r, (_, offs) in enumerate(U_TEMPLATES):
+    for r, (_, offs, xf) in enumerate(u_tpls):
         pieces.append(
             ctx.select(
                 "sent", "pos", F.lit(rule_order).alias("ro"),
                 F.lit("U").alias("kind"), F.lit(r).alias("rule_idx"),
-                _obs_col(offs).alias("obs"), F.lit("").alias("prev"), F.col("cur"),
+                _obs_col(offs, xf).alias("obs"), F.lit("").alias("prev"), F.col("cur"),
             )
         )
         rule_order += 1
-    for r, (_, offs) in enumerate(B_TEMPLATES):
+    for r, (_, offs, xf) in enumerate(b_tpls):
         pieces.append(
             ctx.select(
                 "sent", "pos", F.lit(rule_order).alias("ro"),
                 F.lit("BO").alias("kind"), F.lit(r).alias("rule_idx"),
-                _obs_col(offs).alias("obs"), F.col("prev"), F.col("cur"),
+                _obs_col(offs, xf).alias("obs"), F.col("prev"), F.col("cur"),
             )
         )
         rule_order += 1
@@ -170,7 +209,7 @@ def build_registry(sentences: DataFrame) -> CRFModel:
     prevs = [r.prev for r in reg_rows]
     curs = [r.cur for r in reg_rows]
     feature_index = {
-        build_feature_key(r.kind, r.rule_idx, r.obs, r.prev, r.cur): fid
+        build_feature_key(r.kind, r.rule_idx, r.obs, r.prev, r.cur, u_tpls, b_tpls): fid
         for fid, r in enumerate(reg_rows)
     }
 
@@ -198,6 +237,8 @@ def build_registry(sentences: DataFrame) -> CRFModel:
         obss=obss,
         prevs=prevs,
         curs=curs,
+        u_templates=u_tpls,
+        b_templates=b_tpls,
     )
 
 
@@ -260,6 +301,8 @@ class _TrainTables:
     def __init__(self, model: CRFModel):
         self.model = model
         self.tags = model.tags
+        self.u_templates = model.u_templates
+        self.b_templates = model.b_templates
         K = len(model.tags)
         tag_idx = {t: i for i, t in enumerate(model.tags)}
         self.tag_idx = tag_idx
@@ -312,8 +355,8 @@ def _sentence_grad(words, gold_tags, tt: _TrainTables, w64, grad):
     def u_vec(pos):
         v = np.zeros(K)
         fids = []
-        for r, (_, offs) in enumerate(U_TEMPLATES):
-            lst = tt.u_fids.get((r, obs_string(words, pos, offs)))
+        for r, (_, offs, xf) in enumerate(tt.u_templates):
+            lst = tt.u_fids.get((r, obs_string(words, pos, offs, xf)))
             if lst:
                 fids.append(lst)
                 for fid, ci in lst:
@@ -322,8 +365,8 @@ def _sentence_grad(words, gold_tags, tt: _TrainTables, w64, grad):
 
     start_v, start_u_fids = u_vec(0)
     start_bo = []
-    for r, (_, offs) in enumerate(B_TEMPLATES):
-        lst = tt.bo_start_fids.get((r, obs_string(words, 0, offs)))
+    for r, (_, offs, xf) in enumerate(tt.b_templates):
+        lst = tt.bo_start_fids.get((r, obs_string(words, 0, offs, xf)))
         if lst:
             start_bo.append(lst)
             for fid, ci in lst:
@@ -338,8 +381,8 @@ def _sentence_grad(words, gold_tags, tt: _TrainTables, w64, grad):
         u_fid_rows.append(ufids)
         mat = np.zeros((K, K))
         bofids = []
-        for r, (_, offs) in enumerate(B_TEMPLATES):
-            lst = tt.bo_fids.get((r, obs_string(words, t, offs)))
+        for r, (_, offs, xf) in enumerate(tt.b_templates):
+            lst = tt.bo_fids.get((r, obs_string(words, t, offs, xf)))
             if lst:
                 bofids.append(lst)
                 for fid, pi, ci in lst:
@@ -351,8 +394,8 @@ def _sentence_grad(words, gold_tags, tt: _TrainTables, w64, grad):
 
     stop_v = np.zeros(K)
     stop_bo = []
-    for r, (_, offs) in enumerate(B_TEMPLATES):
-        lst = tt.bo_stop_fids.get((r, obs_string(words, T, offs)))
+    for r, (_, offs, xf) in enumerate(tt.b_templates):
+        lst = tt.bo_stop_fids.get((r, obs_string(words, T, offs, xf)))
         if lst:
             stop_bo.append(lst)
             for fid, pi in lst:
@@ -361,8 +404,8 @@ def _sentence_grad(words, gold_tags, tt: _TrainTables, w64, grad):
     stop_v = stop_v + np.where(bp_stop_ids >= 0, w64[np.maximum(bp_stop_ids, 0)], 0.0)
     stop_u = 0.0
     stop_u_fids = []
-    for r, (_, offs) in enumerate(U_TEMPLATES):
-        lst = tt.u_stop_fids.get((r, obs_string(words, T, offs)))
+    for r, (_, offs, xf) in enumerate(tt.u_templates):
+        lst = tt.u_stop_fids.get((r, obs_string(words, T, offs, xf)))
         if lst:
             stop_u_fids.append(lst)
             for fid in lst:
@@ -432,17 +475,17 @@ def _sentence_grad(words, gold_tags, tt: _TrainTables, w64, grad):
     for t in range(T):
         cur = gold_tags[t]
         prev = gold_tags[t - 1] if t > 0 else START_TAG
-        for r, (_, offs) in enumerate(U_TEMPLATES):
-            lst = tt.u_fids.get((r, obs_string(words, t, offs)))
+        for r, (_, offs, xf) in enumerate(tt.u_templates):
+            lst = tt.u_fids.get((r, obs_string(words, t, offs, xf)))
             if lst:
                 ci_want = tag_idx[cur]
                 for fid, ci in lst:
                     if ci == ci_want:
                         grad[fid] -= 1.0
                         gold += w64[fid]
-        for r, (_, offs) in enumerate(B_TEMPLATES):
+        for r, (_, offs, xf) in enumerate(tt.b_templates):
             if t == 0:
-                lst = tt.bo_start_fids.get((r, obs_string(words, 0, offs)))
+                lst = tt.bo_start_fids.get((r, obs_string(words, 0, offs, xf)))
                 if lst:
                     ci_want = tag_idx[cur]
                     for fid, ci in lst:
@@ -450,7 +493,7 @@ def _sentence_grad(words, gold_tags, tt: _TrainTables, w64, grad):
                             grad[fid] -= 1.0
                             gold += w64[fid]
             else:
-                lst = tt.bo_fids.get((r, obs_string(words, t, offs)))
+                lst = tt.bo_fids.get((r, obs_string(words, t, offs, xf)))
                 if lst:
                     piw, ciw = tag_idx[prev], tag_idx[cur]
                     for fid, pi, ci in lst:
@@ -466,8 +509,8 @@ def _sentence_grad(words, gold_tags, tt: _TrainTables, w64, grad):
             grad[f] -= 1.0
             gold += w64[f]
     # STOP B_obs and U gold features
-    for r, (_, offs) in enumerate(B_TEMPLATES):
-        lst = tt.bo_stop_fids.get((r, obs_string(words, T, offs)))
+    for r, (_, offs, xf) in enumerate(tt.b_templates):
+        lst = tt.bo_stop_fids.get((r, obs_string(words, T, offs, xf)))
         if lst:
             piw = tag_idx[gold_tags[-1]]
             for fid, pi in lst:

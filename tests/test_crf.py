@@ -206,3 +206,108 @@ def test_train_crf_learns(spark, tiny_df):
     )
     total = sum(len(t) for _, t in TINY)
     assert correct / total >= 0.9, (correct, total)
+
+
+# ---------------------------------------------------------------------
+# Extended template mode (shape/prefix/suffix generalization features)
+# ---------------------------------------------------------------------
+
+
+def ext_style_keys(sentences, u_tpls, b_tpls):
+    """Independent key generation for arbitrary (prefix, offs, xform)
+    template sets: gold-path scan in template order + pure-B products."""
+    from hmm_crf_ner_fromscratch_spark.functions.crf import (
+        apply_xform,
+        word_at,
+    )
+
+    keys, seen, tags_seen = [], set(), []
+
+    def add(k):
+        if k not in seen:
+            seen.add(k)
+            keys.append(k)
+
+    def obs(words, pos, offs, xf):
+        return "/".join(apply_xform(word_at(words, pos + o), xf) for o in offs)
+
+    for words, tags in sentences:
+        for t in tags:
+            if t not in tags_seen:
+                tags_seen.append(t)
+    for words, tags in sentences:
+        for pos in range(len(words) + 1):
+            cur = tags[pos] if pos < len(words) else STOP_TAG
+            prev = tags[pos - 1] if pos > 0 else START_TAG
+            for prefix, offs, xf in u_tpls:
+                add(f"{prefix}:{obs(words, pos, offs, xf)}_{cur}")
+            for prefix, offs, xf in b_tpls:
+                add(f"{prefix}:{obs(words, pos, offs, xf)}_{prev}_{cur}")
+            add(f"B:{prev}_{cur}")
+    all_tags = tags_seen + [START_TAG, STOP_TAG]
+    for prev in all_tags:
+        for cur in all_tags:
+            if prev == STOP_TAG or cur == START_TAG:
+                continue
+            add(f"B:{prev}_{cur}")
+    return keys, tags_seen
+
+
+def test_word_shape():
+    from hmm_crf_ner_fromscratch_spark.functions.crf import word_shape
+
+    assert word_shape("London") == "Xx"
+    assert word_shape("McDonald's") == "XxXx'x"
+    assert word_shape("1984") == "d"
+    assert word_shape("U.N.") == "X.X."
+    assert word_shape("re-elect") == "x-x"
+    assert word_shape("") == ""
+
+
+def test_extended_registry_matches_independent_generation(spark, tiny_df):
+    from hmm_crf_ner_fromscratch_spark.functions.crf import (
+        EXTENDED_U_TEMPLATES,
+        normalize_templates,
+    )
+
+    model = build_registry(tiny_df, u_templates=EXTENDED_U_TEMPLATES)
+    want_keys, want_tags = ext_style_keys(
+        TINY, EXTENDED_U_TEMPLATES, normalize_templates(B_TEMPLATES)
+    )
+    assert model.tags == want_tags
+    got = sorted(model.feature_index, key=model.feature_index.get)
+    assert got == want_keys
+    # shape features fire: John/Mary/Paris/London share shape Xx
+    assert "US2:Xx_B-PER" in model.feature_index
+
+
+def test_extended_generalizes_to_unseen_words(spark, tiny_df):
+    """The point of the extended mode: an UNSEEN capitalized word after
+    'in' should still be taggable via shape/context features, where the
+    purely lexical reference templates see nothing."""
+    from hmm_crf_ner_fromscratch_spark.functions.crf import (
+        EXTENDED_U_TEMPLATES,
+    )
+
+    reg = build_registry(tiny_df, u_templates=EXTENDED_U_TEMPLATES)
+    model, _ = train_crf(
+        tiny_df, model=reg, epochs=40, lr=1.0, optimizer="adagrad"
+    )
+    test_df = spark.createDataFrame(
+        [(0, ["John", "lives", "in", "Tokyo"])],
+        "sent_id long, tokens array<string>",
+    )
+    out = decode_crf(test_df, model).first().tags_pred
+    assert list(out) == ["B-PER", "O", "O", "B-LOC"]
+
+    # save/load round-trips the template set and decode is identical
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        model.save(d)
+        from hmm_crf_ner_fromscratch_spark.functions.crf import CRFModel as M
+
+        m2 = M.load(d)
+        assert m2.u_templates == model.u_templates
+        out2 = decode_crf(test_df, m2).first().tags_pred
+        assert list(out2) == list(out)

@@ -4,7 +4,10 @@ Trains the CRF on the complete English CoNLL train set with Adagrad,
 checkpointing the model and logging validation token accuracy + entity
 micro-F1 (check.py semantics: labels exclude O) after each epoch.
 
-Usage: python tools/train_crf_full.py [epochs] [lr] [out_dir]
+Usage: python tools/train_crf_full.py [epochs] [lr] [out_dir] [l2] [mode]
+``mode``: "reference" (default, the 21 reference templates) or "extended"
+(adds shape/lowercase/prefix/suffix unigram templates -- the quality mode
+for unseen-entity generalization).
 """
 
 from __future__ import annotations
@@ -32,6 +35,7 @@ def main():
     lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
     out_dir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/crf_full"
     l2 = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
+    mode = sys.argv[5] if len(sys.argv) > 5 else "reference"
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark(app_name="crf-full", master="local[32]")
@@ -41,8 +45,16 @@ def main():
     val.count()
 
     t0 = time.time()
-    registry = build_registry(train)
-    print(f"registry: {registry.n_features} features, {time.time()-t0:.0f}s", flush=True)
+    if mode == "extended":
+        from hmm_crf_ner_fromscratch_spark.functions.crf import EXTENDED_U_TEMPLATES
+
+        registry = build_registry(train, u_templates=EXTENDED_U_TEMPLATES)
+    else:
+        registry = build_registry(train)
+    print(
+        f"registry[{mode}]: {registry.n_features} features, {time.time()-t0:.0f}s",
+        flush=True,
+    )
 
     def evaluate(model):
         decoded = decode_crf(val.drop("tags"), model).select("sent_id", "tags_pred")
