@@ -86,3 +86,95 @@ def stream_mention_rates(
             "n_mentions",
         )
     )
+
+# ---------------------------------------------------------------------
+# Custom stateful operator: per-conversation entity memory
+# ---------------------------------------------------------------------
+
+ENTITY_STATE_OUTPUT_DDL = (
+    "conv_id string, turn_idx int, entity_type string, surface string, "
+    "is_new boolean, n_entities_seen long"
+)
+ENTITY_STATE_STATE_DDL = "entities array<string>, n_mentions long"
+
+
+def stream_entity_state(
+    stream: DataFrame,
+    model,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Stateful streaming KG enrichment via ``applyInPandasWithState``:
+    tracks, per ``conv_id``, the set of entities mentioned so far in the
+    conversation, across micro-batches and restarts (state lives in the
+    streaming checkpoint). Each decoded mention is emitted annotated with
+    ``is_new`` (first mention of that (entity_type, surface) in this
+    conversation) and the running distinct-entity count -- the building
+    block for incremental, conversation-scoped canonicalization.
+
+    Scale notes: state per conversation is O(distinct entities), grouped
+    state is hash-partitioned by conv_id across executors, and idle
+    conversations are evicted after ``idle_timeout_ms`` of processing
+    time (bounded state at 10^12-turn scale) -- pass a timeout for
+    continuous deployments; leave ``None`` for bounded runs
+    (``availableNow`` triggers: pending processing-time timeouts keep
+    scheduling empty micro-batches, so the query never terminates --
+    measured in this sandbox). Within a micro-batch,
+    mentions are processed in (turn_idx, span_start) order so ``is_new``
+    is deterministic for a given batch composition; across micro-batches
+    it reflects arrival order, as any incremental operator must.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    turns = tokenize_turns(stream.select(*TRANSCRIPT_COLUMNS))
+    mentions = decode_and_extract(turns, model)
+
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (conv_id,) = key
+        if state.exists:
+            entities, n_mentions = state.get
+            seen = set(entities)
+        else:
+            seen, n_mentions = set(), 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values(["turn_idx", "span_start"], kind="stable")
+            keys = pdf["entity_type"] + "|" + pdf["surface"]
+            is_new = ~keys.duplicated() & ~keys.isin(seen)
+            n_seen = is_new.cumsum() + len(seen)
+            out = pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": pdf["turn_idx"].astype("int32"),
+                    "entity_type": pdf["entity_type"],
+                    "surface": pdf["surface"],
+                    "is_new": is_new.astype(bool),
+                    "n_entities_seen": n_seen.astype("int64"),
+                }
+            )
+            seen.update(keys)
+            n_mentions += len(pdf)
+        else:
+            out = None
+        state.update((sorted(seen), n_mentions))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        if out is not None:
+            yield out
+
+    return mentions.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=ENTITY_STATE_OUTPUT_DDL,
+        stateStructType=ENTITY_STATE_STATE_DDL,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )

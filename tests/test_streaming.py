@@ -92,3 +92,87 @@ def test_stream_windowed_mention_rates(spark, english_golden, tmp_path):
     assert rows, "no closed windows emitted"
     for r in rows:
         assert r.n_mentions > 0 and r.window_end > r.window_start
+
+
+def test_stream_entity_state_persists_across_restart(spark, tmp_path):
+    """applyInPandasWithState gate: the per-conversation entity memory
+    survives a query restart (state lives in the checkpoint) -- an entity
+    first seen in micro-batch 1 is is_new=False when repeated in a later
+    run; per-conversation counters accumulate."""
+    import datetime
+
+    from hmm_crf_ner_fromscratch_spark.streaming.decode_stream import (
+        stream_entity_state,
+    )
+
+    # unambiguous tiny corpus -> deterministic HMM decode. Every tag must
+    # occur sentence-initially: the reference's pi quirk (Q1, SURVEY
+    # SS4.1) gives never-initial tags log-prob 0.0 = probability 1,
+    # which would make the model PREFER them at position 0.
+    corpus = [
+        (0, ["Alice", "visits", "Paris"], ["B-PER", "O", "B-LOC"]),
+        (1, ["Bob", "visits", "Paris"], ["B-PER", "O", "B-LOC"]),
+        (2, ["Alice", "greets", "Bob"], ["B-PER", "O", "B-PER"]),
+        (3, ["Paris", "hosts", "Alice"], ["B-LOC", "O", "B-PER"]),
+        (4, ["meanwhile", "Bob", "visits", "Paris"], ["O", "B-PER", "O", "B-LOC"]),
+    ]
+    train_df = spark.createDataFrame(
+        [(str(i), i, w, t) for i, w, t in corpus],
+        "doc_id string, sent_id long, tokens array<string>, tags array<string>",
+    )
+    model = train_hmm(train_df)
+
+    ts = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def turns(rows):
+        return spark.createDataFrame(
+            [(c, i, "user", txt, None, ts) for c, i, txt in rows],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / d) for d in ("in", "out", "ckpt")
+    )
+
+    def run_once():
+        q = (
+            stream_entity_state(read_transcript_stream(spark, in_dir), model)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # batch 1: Alice + Paris in c1; Bob in c2
+    turns([("c1", 0, "Alice visits Paris"), ("c2", 0, "Bob visits Paris")]).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_once()
+    got1 = {
+        (r.conv_id, r.turn_idx, r.surface): (r.is_new, r.n_entities_seen)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got1[("c1", 0, "Alice")] == (True, 1)
+    assert got1[("c1", 0, "Paris")] == (True, 2)
+    assert got1[("c2", 0, "Bob")] == (True, 1)
+    assert got1[("c2", 0, "Paris")] == (True, 2)
+
+    # batch 2 after restart: Alice repeats in c1 (stateful -> not new),
+    # Bob is new in c1; c2 sees Alice for the first time
+    turns([("c1", 1, "Alice greets Bob"), ("c2", 1, "Alice visits Paris")]).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_once()
+    got2 = {
+        (r.conv_id, r.turn_idx, r.surface): (r.is_new, r.n_entities_seen)
+        for r in spark.read.parquet(out_dir).collect()
+        if r.turn_idx == 1
+    }
+    assert got2[("c1", 1, "Alice")] == (False, 2), "state lost across restart"
+    assert got2[("c1", 1, "Bob")] == (True, 3)
+    assert got2[("c2", 1, "Alice")] == (True, 3)
+    assert got2[("c2", 1, "Paris")] == (False, 3)
