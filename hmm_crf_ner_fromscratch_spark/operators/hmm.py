@@ -191,7 +191,9 @@ def train_hmm(sentences: DataFrame) -> HMMModel:
     init_rows = [r for r in rows if r.kind == "i"]
     trans_rows = [r for r in rows if r.kind == "tr"]
     emit_rows = [r for r in rows if r.kind == "e"]
-    total_sentences = sentences.count()
+    # every non-empty sentence contributes exactly one 'i' row, so the
+    # sentence total falls out of the unified agg -- no second scan job
+    total_sentences = sum(r.cnt for r in init_rows)
 
     # ---- driver-side model assembly (A7), exact reference formulas ----
     word_order = sorted(word_rows, key=lambda r: (r.first_seen[0], r.first_seen[1]))

@@ -901,12 +901,44 @@ def q_hmm_decode_dict(spark, sf_dir):
     ).select("doc_id", "pos", F.col("wt.word").alias("word"), F.col("wt.tag").alias("tag"))
 
 
+def q_crf_decode_dict(spark, sf_dir):
+    """W2/W3/F1/A8 as one query: build the CRF feature registry, train a
+    few full-batch epochs on a bounded dictionary-tagged sample, decode a
+    held-out sample with the vectorized float32 Viterbi. Rows-only; the
+    decode-parity property suite (tests/test_crf.py) is the real gate."""
+    from ..operators.crf import build_registry, decode_crf, train_crf
+
+    tagged = _toks(spark, sf_dir).where(F.size("toks") <= 40).select(
+        "doc_id",
+        F.col("doc_id").alias("sent_id"),
+        F.col("toks").alias("tokens"),
+        F.transform(
+            "toks",
+            lambda w: F.when(w.isin(OP_WORDS), "B-OP")
+            .when(w.isin(OBJ_WORDS), "B-OBJ")
+            .otherwise("O"),
+        ).alias("tags"),
+    )
+    train = tagged.where(F.col("doc_id") % 37 == 1).persist()
+    registry = build_registry(train)
+    model, _ = train_crf(train, model=registry, epochs=3, lr=1.0, optimizer="adagrad")
+    train.unpersist()
+    test = tagged.where(F.col("doc_id") % 37 == 0).select("doc_id", "tokens")
+    decoded = decode_crf(test, model)
+    return decoded.select(
+        "doc_id",
+        F.posexplode(
+            F.arrays_zip(F.col("tokens").alias("word"), F.col("tags_pred").alias("tag"))
+        ).alias("pos", "wt"),
+    ).select("doc_id", "pos", F.col("wt.word").alias("word"), F.col("wt.tag").alias("tag"))
+
+
 def q_kg_pipeline(spark, sf_dir):
     """Flagship: the full KG pipeline over documents-as-transcripts.
     Rows-only (Viterbi inside). Returns the aggregated edge table."""
+    from ..operators.fused import decode_and_extract
     from ..operators.graph import build_graph
-    from ..operators.hmm import decode_hmm, train_hmm
-    from ..operators.mentions import extract_mentions
+    from ..operators.hmm import train_hmm
 
     docs = _toks(spark, sf_dir)
     turns = docs.select(
@@ -934,11 +966,13 @@ def q_kg_pipeline(spark, sf_dir):
         )
     )
     test = turns.where(F.col("turn_idx") % 5 == 0).drop("tags")
-    decoded = decode_hmm(test, model)
-    # localCheckpoint: the mentions feed BOTH the triples window and the
-    # graph build; without it each consumer would re-run the python
-    # decode+extract stages (same finding as q_dict_triples).
-    mentions = extract_mentions(decoded).localCheckpoint()
+    # fused decode+extract: ONE python stage (BENCH finding: chained
+    # mapInPandas stages collapse at high parallelism). localCheckpoint:
+    # the mentions feed BOTH the triples window and the graph build;
+    # without it each consumer would re-run the python stage.
+    mentions = decode_and_extract(
+        test, model, key_cols=("conv_id", "turn_idx")
+    ).localCheckpoint()
     # adjacency templating via lead(): one window, span extraction runs once
     w = Window.partitionBy("conv_id", "turn_idx").orderBy("span_start")
     nxt = mentions.select(
@@ -999,6 +1033,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "hourly_event_counts": q_hourly_event_counts,
     "hmm_decode_dict": q_hmm_decode_dict,
+    "crf_decode_dict": q_crf_decode_dict,
     "kg_pipeline": q_kg_pipeline,
 }
 
