@@ -2,11 +2,15 @@
 
 No real cluster exists in this sandbox, so the two cluster sizes are
 evidenced as two parallelism levels on identical input: the same decode+
-extract job at local[8] and local[32] (8 -> 32 cores = N -> 4N). Each
-measurement runs in a fresh subprocess (a JVM cannot change master).
+extract job at local[2] / local[8] / local[32] (2 -> 8 cores = N -> 4N).
+Each measurement is launched through ``spark-submit --py-files`` -- the
+north-rule deployment path: the package arrives as a zip, the master and
+all session conf come from the submit command, exactly as they would on a
+multi-executor cluster (pass ``--plain`` to use bare python subprocesses
+instead).
 
-Usage: python tools/bench_scaling.py [n_turns]  (default 400000)
-Prints one JSON line with throughput at both levels + efficiency, and is
+Usage: python tools/bench_scaling.py [n_turns] [--plain]
+Prints one JSON line with throughput at each level + efficiency, and is
 the source for the numbers in BENCH/BASELINE.md.
 """
 
@@ -16,40 +20,54 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = "/opt/spark/bin/spark-submit"
+
+# Worker body: session comes from the environment (spark-submit conf, or
+# the get_spark defaults in plain mode -- see run()). Identical input
+# layout (128 partitions) at every parallelism level so partition-size
+# effects don't confound the core-count comparison.
 WORKER = r"""
 import json, os, sys, time
-sys.path.insert(0, "%(repo)s")
+
+cores = int(sys.argv[1]); n_turns = int(sys.argv[2]); plain = sys.argv[3] == "plain"
+
+if plain:
+    sys.path.insert(0, %(repo)r)
+    from hmm_crf_ner_fromscratch_spark.session import get_spark
+    spark = get_spark(app_name=f"scale-{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=str(max(cores * 2, 16)),
+                      extra_conf={
+                          "spark.sql.files.maxPartitionBytes": "4m",
+                          "spark.sql.files.openCostInBytes": "0",
+                      })
+else:
+    # spark-submit path: master + conf from the submit command, package
+    # from --py-files; nothing is read from the repo checkout
+    from pyspark.sql import SparkSession
+    spark = SparkSession.builder.getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+
 from pyspark.sql import functions as F
-from hmm_crf_ner_fromscratch_spark.session import get_spark
 from hmm_crf_ner_fromscratch_spark.sources.conll import read_conll
 from hmm_crf_ner_fromscratch_spark.sources.transcripts import (
     synth_transcripts, tokenize_turns, salted_turns)
 from hmm_crf_ner_fromscratch_spark.operators.hmm import train_hmm
 from hmm_crf_ner_fromscratch_spark.operators.fused import decode_and_extract
 
-cores = int(sys.argv[1]); n_turns = int(sys.argv[2])
-spark = get_spark(app_name=f"scale-{cores}", master=f"local[{cores}]",
-                  shuffle_partitions=str(max(cores * 2, 16)),
-                  extra_conf={
-                      # split the input into enough tasks to keep every
-                      # core busy (file packing would give ~31 tasks)
-                      "spark.sql.files.maxPartitionBytes": "4m",
-                      "spark.sql.files.openCostInBytes": "0",
-                  })
-spark.sparkContext.setLogLevel("ERROR")
 model = train_hmm(read_conll(spark, "/root/reference/English/train.txt", doc_id="t"))
 
 # materialize the input once (generation excluded from the timed section)
-# identical input layout for both parallelism levels (128 partitions):
-# otherwise partition-size effects confound the core-count comparison
-tx = salted_turns(tokenize_turns(synth_transcripts(spark, n_turns, seed=77)),
-                  bucket=4096, partitions=128)
 path = f"/tmp/scale_input_{n_turns}"
 if not os.path.exists(path + "/_SUCCESS"):
+    tx = salted_turns(tokenize_turns(synth_transcripts(spark, n_turns, seed=77)),
+                      bucket=4096, partitions=128)
     tx.write.mode("overwrite").parquet(path)
-# column-prune before the UDF chain: only key + token columns cross the
-# JVM<->Python Arrow boundary (never ship text/ts through two stages)
+
+# column-prune before the UDF: only key + token columns cross the
+# JVM<->Python Arrow boundary
 inp = spark.read.parquet(path).select("conv_id", "turn_idx", "role", "tool", "tokens")
 n_tokens = inp.select(F.sum(F.size("tokens"))).first()[0]
 
@@ -61,28 +79,64 @@ decode_and_extract(inp.sample(0.01, seed=1), model).count()
 t0 = time.time()
 n_mentions = decode_and_extract(inp, model).count()
 wall = time.time() - t0
-print(json.dumps({"cores": cores, "n_turns": n_turns, "n_tokens": int(n_tokens),
-                  "n_mentions": int(n_mentions), "wall_sec": round(wall, 2),
-                  "tokens_per_sec": round(n_tokens / wall)}))
+print("SCALE_RESULT " + json.dumps(
+    {"cores": cores, "n_turns": n_turns, "n_tokens": int(n_tokens),
+     "n_mentions": int(n_mentions), "wall_sec": round(wall, 2),
+     "tokens_per_sec": round(n_tokens / wall)}))
 spark.stop()
 """
 
 
-def run(cores: int, n_turns: int) -> dict:
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    code = WORKER % {"repo": repo}
-    out = subprocess.run(
-        [sys.executable, "-c", code, str(cores), str(n_turns)],
-        capture_output=True, text=True, timeout=1800,
-    )
+def _parse(out: subprocess.CompletedProcess) -> dict:
     if out.returncode != 0:
         raise RuntimeError(out.stderr[-2000:])
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("SCALE_RESULT "):
+            return json.loads(line[len("SCALE_RESULT "):])
+    raise RuntimeError(f"no result line in output: {out.stdout[-500:]}")
+
+
+def run(cores: int, n_turns: int, plain: bool, worker_path: str, zip_path: str) -> dict:
+    if plain:
+        cmd = [sys.executable, worker_path, str(cores), str(n_turns), "plain"]
+    else:
+        cmd = [
+            SPARK_SUBMIT,
+            "--master", f"local[{cores}]",
+            "--py-files", zip_path,
+            "--conf", f"spark.sql.shuffle.partitions={max(cores * 2, 16)}",
+            "--conf", "spark.sql.adaptive.enabled=true",
+            "--conf", "spark.sql.adaptive.coalescePartitions.enabled=true",
+            "--conf", "spark.sql.adaptive.skewJoin.enabled=true",
+            "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+            "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=2048",
+            "--conf", "spark.driver.memory=8g",
+            "--conf", "spark.sql.files.maxPartitionBytes=4m",
+            "--conf", "spark.sql.files.openCostInBytes=0",
+            "--conf", "spark.sql.session.timeZone=UTC",
+            "--conf", "spark.ui.enabled=false",
+            worker_path, str(cores), str(n_turns), "submit",
+        ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    return _parse(out)
 
 
 def main():
-    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
-    results = {c: run(c, n_turns) for c in (2, 8, 32)}
+    args = [a for a in sys.argv[1:] if a != "--plain"]
+    plain = "--plain" in sys.argv[1:]
+    n_turns = int(args[0]) if args else 4_000_000
+    zip_path = ""
+    if not plain:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from package_zip import build_package_zip
+
+        zip_path = build_package_zip()
+    with tempfile.NamedTemporaryFile(
+        "w", suffix="_scale_worker.py", delete=False
+    ) as f:
+        f.write(WORKER % {"repo": REPO})
+        worker_path = f.name
+    results = {c: run(c, n_turns, plain, worker_path, zip_path) for c in (2, 8, 32)}
     eff_2_8 = (results[8]["tokens_per_sec"] / results[2]["tokens_per_sec"]) / 4
     eff_8_32 = (results[32]["tokens_per_sec"] / results[8]["tokens_per_sec"]) / 4
     print(
@@ -92,6 +146,7 @@ def main():
                 "value": round(eff_2_8, 3),
                 "unit": "fraction",
                 "n_turns": n_turns,
+                "launcher": "plain-python" if plain else "spark-submit --py-files",
                 "efficiency_2_to_8": round(eff_2_8, 3),
                 "efficiency_8_to_32": round(eff_8_32, 3),
                 "runs": {str(c): r for c, r in results.items()},
