@@ -370,8 +370,6 @@ def viterbi_decode_crf_batch(
     n_rules_u = len(u_tpls)
     zero_vec = np.zeros(K, dtype=np.float32)
 
-    # flatten positions: sentence id + local position (0..T-1), plus one
-    # extra STOP position (pos == T) per sentence
     out: list[list[str]] = [None] * len(token_lists)
     sent_idx = [i for i, t in enumerate(token_lists) if len(t) > 0]
     for i, t in enumerate(token_lists):
@@ -384,27 +382,61 @@ def viterbi_decode_crf_batch(
     u_cache: list[dict] = [dict() for _ in range(n_rules_u)]
     us_cache: list[dict] = [dict() for _ in range(n_rules_u)]
     bo_cache: list[dict] = [dict() for _ in range(len(b_tpls))]
-    bos_cache: list[dict] = [dict() for _ in range(len(b_tpls))]
     bostop_cache: list[dict] = [dict() for _ in range(len(b_tpls))]
+
+    # pad geometry shared by all rules: positions run 0..T (incl. STOP),
+    # offsets span [min_off, max_off] -> one padded word list per sentence,
+    # one transformed copy per distinct non-identity xform, and every
+    # rule's obs array is a slice (single offset) or a zip-join of slices
+    all_tpls = u_tpls + b_tpls
+    min_off = min((min(offs) for _, offs, _ in all_tpls if offs), default=0)
+    max_off = max((max(offs) for _, offs, _ in all_tpls if offs), default=0)
+    L = max(-min_off, 0)
+    R = max(max_off, 0)
+    xforms = sorted({xf for _, _, xf in all_tpls})
+
+    def obs_lists(words, T):
+        """{xf: padded} then per-template obs string list for pos 0..T."""
+        padded = ["BOS"] * L + list(words) + ["EOS"] * (R + 1)
+        pads = {}
+        for xf in xforms:
+            pads[xf] = (
+                padded if xf == "w" else [apply_xform(w, xf) for w in padded]
+            )
+        per_tpl = []
+        for _, offs, xf in all_tpls:
+            p = pads[xf]
+            if len(offs) == 1:
+                o = offs[0] + L
+                per_tpl.append(p[o : o + T + 1])
+            else:
+                slices = [p[o + L : o + L + T + 1] for o in offs]
+                per_tpl.append(["/".join(ws) for ws in zip(*slices)])
+        return per_tpl
 
     for i in sent_idx:
         words = token_lists[i]
         T = len(words)
+        obs_per_tpl = obs_lists(words, T)
+        u_obs = obs_per_tpl[:n_rules_u]
+        b_obs = obs_per_tpl[n_rules_u:]
+
         # --- U matrix for positions 0..T-1 and STOP scalar at T ---
         U = np.zeros((T, K), dtype=np.float32)
         u_stop = np.float32(0.0)
-        for r, (_, offs, xf) in enumerate(u_tpls):
+        for r in range(n_rules_u):
             cache, scache = u_cache[r], us_cache[r]
             vec_map = tables.u_vec
+            olist = u_obs[r]
             for t in range(T):
-                obs = obs_string(words, t, offs, xf)
+                obs = olist[t]
                 v = cache.get(obs)
                 if v is None:
                     v = vec_map.get((r, obs), zero_vec)
                     cache[obs] = v
                 if v is not zero_vec:
                     U[t] += v
-            obs = obs_string(words, T, offs, xf)
+            obs = olist[T]
             s = scache.get(obs)
             if s is None:
                 s = tables.u_stop.get((r, obs), np.float32(0.0))
@@ -413,8 +445,8 @@ def viterbi_decode_crf_batch(
 
         # --- start vector ---
         dp = U[0].copy()
-        for r, (_, offs, xf) in enumerate(b_tpls):
-            vec = tables.bo_start.get((r, obs_string(words, 0, offs, xf)))
+        for r in range(len(b_tpls)):
+            vec = tables.bo_start.get((r, b_obs[r][0]))
             if vec is not None:
                 dp += vec
         dp += tables.bp_start
@@ -424,8 +456,8 @@ def viterbi_decode_crf_batch(
         rng = np.arange(K)
         for t in range(1, T):
             trans = None
-            for r, (_, offs, xf) in enumerate(b_tpls):
-                obs = obs_string(words, t, offs, xf)
+            for r in range(len(b_tpls)):
+                obs = b_obs[r][t]
                 cache = bo_cache[r]
                 cells = cache.get(obs, False)
                 if cells is False:
@@ -447,8 +479,8 @@ def viterbi_decode_crf_batch(
 
         # --- termination ---
         stop = None
-        for r, (_, offs, xf) in enumerate(b_tpls):
-            obs = obs_string(words, T, offs, xf)
+        for r in range(len(b_tpls)):
+            obs = b_obs[r][T]
             cache = bostop_cache[r]
             vec = cache.get(obs, False)
             if vec is False:
