@@ -345,6 +345,36 @@ def viterbi_decode_crf(words: list[str], tables: DecodeTables) -> list[str]:
     return [tables.tags[i] for i in path]
 
 
+def build_obs_lists(
+    words: list[str], templates: list[tuple[str, tuple[int, ...], str]]
+) -> list[list[str]]:
+    """Per-template observation strings for positions 0..T (incl. STOP):
+    one padded word list, one transformed copy per distinct non-identity
+    transform (shared across templates), each template's sequence a list
+    slice (single offset) or zip-join of slices. Exactly equals
+    ``[obs_string(words, pos, offs, xf) for pos in range(T + 1)]``."""
+    T = len(words)
+    min_off = min((min(offs) for _, offs, _ in templates if offs), default=0)
+    max_off = max((max(offs) for _, offs, _ in templates if offs), default=0)
+    L = max(-min_off, 0)
+    R = max(max_off, 0)
+    padded = ["BOS"] * L + list(words) + ["EOS"] * (R + 1)
+    pads: dict[str, list[str]] = {}
+    out = []
+    for _, offs, xf in templates:
+        p = pads.get(xf)
+        if p is None:
+            p = padded if xf == "w" else [apply_xform(w, xf) for w in padded]
+            pads[xf] = p
+        if len(offs) == 1:
+            o = offs[0] + L
+            out.append(p[o : o + T + 1])
+        else:
+            slices = [p[o + L : o + L + T + 1] for o in offs]
+            out.append(["/".join(ws) for ws in zip(*slices)])
+    return out
+
+
 def viterbi_decode_crf_batch(
     token_lists: list, tables: DecodeTables
 ) -> list[list[str]]:
@@ -384,40 +414,12 @@ def viterbi_decode_crf_batch(
     bo_cache: list[dict] = [dict() for _ in range(len(b_tpls))]
     bostop_cache: list[dict] = [dict() for _ in range(len(b_tpls))]
 
-    # pad geometry shared by all rules: positions run 0..T (incl. STOP),
-    # offsets span [min_off, max_off] -> one padded word list per sentence,
-    # one transformed copy per distinct non-identity xform, and every
-    # rule's obs array is a slice (single offset) or a zip-join of slices
     all_tpls = u_tpls + b_tpls
-    min_off = min((min(offs) for _, offs, _ in all_tpls if offs), default=0)
-    max_off = max((max(offs) for _, offs, _ in all_tpls if offs), default=0)
-    L = max(-min_off, 0)
-    R = max(max_off, 0)
-    xforms = sorted({xf for _, _, xf in all_tpls})
-
-    def obs_lists(words, T):
-        """{xf: padded} then per-template obs string list for pos 0..T."""
-        padded = ["BOS"] * L + list(words) + ["EOS"] * (R + 1)
-        pads = {}
-        for xf in xforms:
-            pads[xf] = (
-                padded if xf == "w" else [apply_xform(w, xf) for w in padded]
-            )
-        per_tpl = []
-        for _, offs, xf in all_tpls:
-            p = pads[xf]
-            if len(offs) == 1:
-                o = offs[0] + L
-                per_tpl.append(p[o : o + T + 1])
-            else:
-                slices = [p[o + L : o + L + T + 1] for o in offs]
-                per_tpl.append(["/".join(ws) for ws in zip(*slices)])
-        return per_tpl
 
     for i in sent_idx:
         words = token_lists[i]
         T = len(words)
-        obs_per_tpl = obs_lists(words, T)
+        obs_per_tpl = build_obs_lists(words, all_tpls)
         u_obs = obs_per_tpl[:n_rules_u]
         b_obs = obs_per_tpl[n_rules_u:]
 

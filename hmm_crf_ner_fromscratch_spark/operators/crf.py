@@ -35,7 +35,7 @@ from ..functions.crf import (
     CRFModel,
     DecodeTables,
     build_feature_key,
-    obs_string,
+    build_obs_lists,
     viterbi_decode_crf,
 )
 
@@ -351,12 +351,18 @@ def _sentence_grad(words, gold_tags, tt: _TrainTables, w64, grad):
     tag_idx = tt.tag_idx
     bp_f = tt.bp_fid
 
+    # per-template obs strings for pos 0..T, computed ONCE and reused by
+    # the potential, expectation, and gold passes
+    n_u = len(tt.u_templates)
+    obs_all = build_obs_lists(words, tt.u_templates + tt.b_templates)
+    u_obs, b_obs = obs_all[:n_u], obs_all[n_u:]
+
     # potentials
     def u_vec(pos):
         v = np.zeros(K)
         fids = []
-        for r, (_, offs, xf) in enumerate(tt.u_templates):
-            lst = tt.u_fids.get((r, obs_string(words, pos, offs, xf)))
+        for r in range(n_u):
+            lst = tt.u_fids.get((r, u_obs[r][pos]))
             if lst:
                 fids.append(lst)
                 for fid, ci in lst:
@@ -365,8 +371,8 @@ def _sentence_grad(words, gold_tags, tt: _TrainTables, w64, grad):
 
     start_v, start_u_fids = u_vec(0)
     start_bo = []
-    for r, (_, offs, xf) in enumerate(tt.b_templates):
-        lst = tt.bo_start_fids.get((r, obs_string(words, 0, offs, xf)))
+    for r in range(len(tt.b_templates)):
+        lst = tt.bo_start_fids.get((r, b_obs[r][0]))
         if lst:
             start_bo.append(lst)
             for fid, ci in lst:
@@ -381,8 +387,8 @@ def _sentence_grad(words, gold_tags, tt: _TrainTables, w64, grad):
         u_fid_rows.append(ufids)
         mat = np.zeros((K, K))
         bofids = []
-        for r, (_, offs, xf) in enumerate(tt.b_templates):
-            lst = tt.bo_fids.get((r, obs_string(words, t, offs, xf)))
+        for r in range(len(tt.b_templates)):
+            lst = tt.bo_fids.get((r, b_obs[r][t]))
             if lst:
                 bofids.append(lst)
                 for fid, pi, ci in lst:
@@ -394,8 +400,8 @@ def _sentence_grad(words, gold_tags, tt: _TrainTables, w64, grad):
 
     stop_v = np.zeros(K)
     stop_bo = []
-    for r, (_, offs, xf) in enumerate(tt.b_templates):
-        lst = tt.bo_stop_fids.get((r, obs_string(words, T, offs, xf)))
+    for r in range(len(tt.b_templates)):
+        lst = tt.bo_stop_fids.get((r, b_obs[r][T]))
         if lst:
             stop_bo.append(lst)
             for fid, pi in lst:
@@ -404,8 +410,8 @@ def _sentence_grad(words, gold_tags, tt: _TrainTables, w64, grad):
     stop_v = stop_v + np.where(bp_stop_ids >= 0, w64[np.maximum(bp_stop_ids, 0)], 0.0)
     stop_u = 0.0
     stop_u_fids = []
-    for r, (_, offs, xf) in enumerate(tt.u_templates):
-        lst = tt.u_stop_fids.get((r, obs_string(words, T, offs, xf)))
+    for r in range(n_u):
+        lst = tt.u_stop_fids.get((r, u_obs[r][T]))
         if lst:
             stop_u_fids.append(lst)
             for fid in lst:
@@ -475,17 +481,17 @@ def _sentence_grad(words, gold_tags, tt: _TrainTables, w64, grad):
     for t in range(T):
         cur = gold_tags[t]
         prev = gold_tags[t - 1] if t > 0 else START_TAG
-        for r, (_, offs, xf) in enumerate(tt.u_templates):
-            lst = tt.u_fids.get((r, obs_string(words, t, offs, xf)))
+        for r in range(n_u):
+            lst = tt.u_fids.get((r, u_obs[r][t]))
             if lst:
                 ci_want = tag_idx[cur]
                 for fid, ci in lst:
                     if ci == ci_want:
                         grad[fid] -= 1.0
                         gold += w64[fid]
-        for r, (_, offs, xf) in enumerate(tt.b_templates):
+        for r in range(len(tt.b_templates)):
             if t == 0:
-                lst = tt.bo_start_fids.get((r, obs_string(words, 0, offs, xf)))
+                lst = tt.bo_start_fids.get((r, b_obs[r][0]))
                 if lst:
                     ci_want = tag_idx[cur]
                     for fid, ci in lst:
@@ -493,7 +499,7 @@ def _sentence_grad(words, gold_tags, tt: _TrainTables, w64, grad):
                             grad[fid] -= 1.0
                             gold += w64[fid]
             else:
-                lst = tt.bo_fids.get((r, obs_string(words, t, offs, xf)))
+                lst = tt.bo_fids.get((r, b_obs[r][t]))
                 if lst:
                     piw, ciw = tag_idx[prev], tag_idx[cur]
                     for fid, pi, ci in lst:
@@ -509,8 +515,8 @@ def _sentence_grad(words, gold_tags, tt: _TrainTables, w64, grad):
             grad[f] -= 1.0
             gold += w64[f]
     # STOP B_obs and U gold features
-    for r, (_, offs, xf) in enumerate(tt.b_templates):
-        lst = tt.bo_stop_fids.get((r, obs_string(words, T, offs, xf)))
+    for r in range(len(tt.b_templates)):
+        lst = tt.bo_stop_fids.get((r, b_obs[r][T]))
         if lst:
             piw = tag_idx[gold_tags[-1]]
             for fid, pi in lst:
