@@ -115,6 +115,13 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # empty edge set (common for sparse/clean corpora): every vertex is
+    # its own component -- skip the propagation loop entirely (the count
+    # is free: sym is already materialized by the checkpoint)
+    if sym.count() == 0:
+        return sym.select(F.col("u").alias("key")).withColumn(
+            "component", F.col("key")
+        )
     labels = sym.select(F.col("u").alias("key")).distinct().withColumn(
         "component", F.col("key")
     ).localCheckpoint()
