@@ -311,3 +311,24 @@ def test_extended_generalizes_to_unseen_words(spark, tiny_df):
         assert m2.u_templates == model.u_templates
         out2 = decode_crf(test_df, m2).first().tags_pred
         assert list(out2) == list(out)
+
+
+def test_build_obs_lists_equals_obs_string():
+    """The padded-slice obs builder must agree with obs_string for every
+    (template, position), across offsets, transforms, and short/empty
+    sentences (the decode/train kernels rely on this equivalence)."""
+    from hmm_crf_ner_fromscratch_spark.functions.crf import (
+        EXTENDED_U_TEMPLATES,
+        build_obs_lists,
+        normalize_templates,
+    )
+
+    tpls = EXTENDED_U_TEMPLATES + normalize_templates(B_TEMPLATES)
+    rng = random.Random(99)
+    words_pool = ["EU", "rejects", "McDonald's", "1984", "U.N.", "a", "re-elect"]
+    for _ in range(50):
+        words = [rng.choice(words_pool) for _ in range(rng.randint(1, 9))]
+        got = build_obs_lists(words, tpls)
+        for r, (_, offs, xf) in enumerate(tpls):
+            want = [obs_string(words, pos, offs, xf) for pos in range(len(words) + 1)]
+            assert got[r] == want, (r, offs, xf, words)
