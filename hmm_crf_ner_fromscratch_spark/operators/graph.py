@@ -57,7 +57,9 @@ def build_graph(
         )
         .select("component", F.col("best.surface").alias("canonical"))
     )
-    enriched = keyed.join(canon, "component")
+    # persisted: feeds the nodes aggregate AND both resolution joins of
+    # the edges path; without it every consumer re-runs linking + CC
+    enriched = keyed.join(canon, "component").persist()
 
     nodes = (
         enriched.groupBy("component", "canonical")

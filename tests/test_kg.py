@@ -168,9 +168,17 @@ def test_connected_components_star_random_graphs(spark):
         if not edges_py:
             continue
         e = spark.createDataFrame(edges_py, "src_key string, dst_key string")
+        # three independent implementations must agree: driver union-find
+        # (small-graph adaptive path), distributed min-label loop (forced
+        # via local_threshold=0), large-star/small-star
         base = {r.key: r.component for r in connected_components(e, max_iter=60).collect()}
+        dist = {
+            r.key: r.component
+            for r in connected_components(e, max_iter=60, local_threshold=0).collect()
+        }
         star = {r.key: r.component for r in connected_components_star(e).collect()}
-        assert star == base, f"mismatch on {edges_py[:5]}..."
+        assert dist == base, f"local/distributed mismatch on {edges_py[:5]}..."
+        assert star == base, f"star mismatch on {edges_py[:5]}..."
 
 
 def test_build_graph_e2e(spark, english_golden):
