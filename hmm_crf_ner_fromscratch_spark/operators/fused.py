@@ -91,3 +91,50 @@ def decode_and_extract(
             yield out
 
     return in_df.mapInPandas(run, schema=out_schema)
+
+
+def decode_and_extract_crf(
+    turns: DataFrame,
+    model,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx", "role", "tool"),
+    token_col: str = "tokens",
+    scheme: str = "bio",
+) -> DataFrame:
+    """CRF variant of the fused operator: batch CRF Viterbi + span
+    assembly in ONE python stage (same rationale as the HMM path). The
+    compact CRFModel is broadcast; each worker builds its DecodeTables
+    once and caches them process-wide."""
+    spark = turns.sparkSession
+    bc = spark.sparkContext.broadcast(model)
+    key_cols = tuple(c for c in key_cols if c in turns.columns)
+    in_df = turns.select(*key_cols, token_col)
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in in_df.schema.fields[: len(key_cols)]
+    )
+    out_schema = (
+        f"{key_schema}, span_start int, span_end int, "
+        "entity_type string, surface string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.crf import viterbi_decode_crf_batch
+        from .crf import _worker_tables
+
+        tables = _worker_tables(bc)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            token_lists = [list(t) for t in pdf[token_col]]
+            tags = viterbi_decode_crf_batch(token_lists, tables)
+            rows, starts, ends, types, surfaces = extract_spans_batch(
+                token_lists, tags, scheme=scheme
+            )
+            out = pdf.iloc[rows][list(key_cols)].reset_index(drop=True)
+            out["span_start"] = pd.Series(starts, dtype="int32")
+            out["span_end"] = pd.Series(ends, dtype="int32")
+            out["entity_type"] = pd.Series(types, dtype=object)
+            out["surface"] = pd.Series(surfaces, dtype=object)
+            yield out
+
+    return in_df.mapInPandas(run, schema=out_schema)
