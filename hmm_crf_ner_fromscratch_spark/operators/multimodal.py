@@ -47,9 +47,30 @@ def synth_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
             for k in range(4)
         ]
     )
+    # modality derived from md5 (not xxhash64) so the construction is
+    # reproducible in any engine -- the DuckDB oracle for the entry query
+    # recomputes it bit-for-bit (same trick as similarity._hyperplane).
     modality = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.xxhash64("asset_id", F.lit(seed)), F.lit(3)) + 1).cast("int"),
+        (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"mod{seed}:"), F.col("asset_id").cast("string")
+                            ).cast("binary")
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(3),
+            )
+            + 1
+        ).cast("int"),
     )
     meta = F.struct(
         (F.pmod(F.xxhash64("asset_id", F.lit(seed + 1)), F.lit(512)) + 16).cast("int").alias("width"),
@@ -92,6 +113,19 @@ def byte_histogram_features(assets: DataFrame, bins: int = N_HIST_BINS) -> DataF
             )
 
     return assets.mapInPandas(run, schema=out_schema)
+
+
+def byte_histogram_long(assets: DataFrame, bins: int = N_HIST_BINS) -> DataFrame:
+    """:func:`byte_histogram_features` exploded to one row per histogram
+    bin -- ``(asset_id, modality, bin, value)``. Scalar columns only, so
+    results canonicalize (sort/hash) in any downstream harness; this is
+    the shape the driver-contract query uses."""
+    wide = byte_histogram_features(assets, bins)
+    return wide.select(
+        "asset_id",
+        "modality",
+        F.posexplode("features").alias("bin", "value"),
+    )
 
 
 def decode_image(assets: DataFrame, target_size: tuple[int, int] = (64, 64)) -> DataFrame:

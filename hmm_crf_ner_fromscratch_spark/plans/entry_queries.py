@@ -863,12 +863,45 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, query_ids=list(range(8)), k=10, n_clusters=8, n_probe=3)
 
 
-def q_multimodal_features(spark, sf_dir):
-    """Binary-payload byte-histogram features over synthetic assets --
-    rows-only (binary plumbing; no SQL oracle)."""
-    from ..operators.multimodal import byte_histogram_features, synth_assets
+N_ASSETS = 500
 
-    return byte_histogram_features(synth_assets(spark, 500, seed=42))
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-payload byte-histogram features over synthetic assets, in
+    long form (asset_id, modality, bin, value) so the result
+    canonicalizes. The payloads/modalities are md5-derived, so the DuckDB
+    oracle rebuilds the identical assets and histograms in pure SQL --
+    the Arrow-batched np kernel is checked value-for-value (counts/64 are
+    exact doubles)."""
+    from ..operators.multimodal import byte_histogram_long, synth_assets
+
+    return byte_histogram_long(synth_assets(spark, N_ASSETS, seed=42)).select(
+        "asset_id", "modality", F.col("bin").cast("int").alias("bin"), "value"
+    )
+
+
+SQL_MULTIMODAL_FEATURES = f"""
+WITH a AS (SELECT unnest(generate_series(0, {N_ASSETS - 1})) AS asset_id),
+hx AS (
+  SELECT asset_id,
+         md5('42:0:' || CAST(asset_id AS VARCHAR)) || md5('42:1:' || CAST(asset_id AS VARCHAR))
+         || md5('42:2:' || CAST(asset_id AS VARCHAR)) || md5('42:3:' || CAST(asset_id AS VARCHAR)) AS h,
+         ['image', 'audio', 'video'][
+           CAST(('0x' || substring(md5('mod42:' || CAST(asset_id AS VARCHAR)), 1, 15))::BIGINT % 3 AS INT) + 1
+         ] AS modality
+  FROM a),
+nib AS (
+  SELECT asset_id, modality, unnest(generate_series(0, 63)) AS p, h FROM hx),
+cnt AS (
+  SELECT asset_id, modality,
+         ('0x' || substring(h, 2 * p + 1, 1))::INT AS bin, count(*) AS c
+  FROM nib GROUP BY 1, 2, 3),
+dense AS (
+  SELECT hx.asset_id, hx.modality, b.bin, coalesce(cnt.c, 0) AS c
+  FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) b
+  LEFT JOIN cnt ON cnt.asset_id = hx.asset_id AND cnt.bin = b.bin)
+SELECT asset_id, modality, bin, CAST(c AS DOUBLE) / 64 AS value FROM dense
+"""
 
 
 # =====================================================================
@@ -1043,7 +1076,7 @@ ORACLES = {
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "langid_confusion": _langid_sql(),
     "cosine_neardup": SQL_COSINE_NEARDUP,
-    # ann_lsh_topk, multimodal_features: rows-only
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "word_count": SQL_WORD_COUNT,
     "initial_token_count": SQL_INITIAL_TOKEN_COUNT,
     "transition_count": SQL_TRANSITION_COUNT,
