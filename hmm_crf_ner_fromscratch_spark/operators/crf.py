@@ -40,15 +40,17 @@ from ..functions.crf import (
 )
 
 
-def _context_frame(sentences: DataFrame, xforms: tuple = ()) -> DataFrame:
+def _context_frame(sentences: DataFrame, xform_pairs: tuple = ()) -> DataFrame:
     """Exploded token frame with clamped context word columns w_m2..w_p2,
     prev/cur tags, and a STOP row per sentence (pos = len(tokens)).
 
-    For each non-identity transform in ``xforms`` the five context columns
-    are additionally emitted transformed (``w_0__shape`` etc.) via a
-    vectorized pandas UDF running the SAME Python transform the
-    decode/train kernels use -- Spark-built feature keys and kernel-built
-    keys agree by construction."""
+    ``xform_pairs`` is the set of (offset, xform) pairs actually
+    referenced by the template set; only those transformed columns are
+    emitted (``w_0__shape`` etc.), not the full offsets x transforms
+    cross product. lower/prefix/suffix are native Spark functions
+    (JVM-side, codegen); only ``shape`` needs a (vectorized pandas) UDF
+    -- it runs the SAME Python transform the decode/train kernels use,
+    so Spark-built and kernel-built feature keys agree by construction."""
     order_cols = [c for c in ("doc_id", "sent_id") if c in sentences.columns]
     sent_key = F.struct(*[F.col(c) for c in order_cols]).alias("sent")
     toks, tags = F.col("tokens"), F.col("tags")
@@ -98,16 +100,30 @@ def _context_frame(sentences: DataFrame, xforms: tuple = ()) -> DataFrame:
         F.lit(STOP_TAG).alias("cur"),
     )
     out = body.unionByName(stop)
-    for xf in xforms:
-        if xf == "w":
-            continue
-        udf = _xform_udf(xf)
-        for base_col in _OFF_COL.values():
-            out = out.withColumn(f"{base_col}__{xf}", udf(F.col(base_col)))
+    for off, xf in xform_pairs:
+        base_col = _OFF_COL[off]
+        out = out.withColumn(f"{base_col}__{xf}", _xform_col(xf, F.col(base_col)))
     return out
 
 
 _OFF_COL = {-2: "w_m2", -1: "w_m1", 0: "w_0", 1: "w_p1", 2: "w_p2"}
+
+
+def _xform_col(xf: str, col):
+    """Word transform as a Spark column. lower/preN/sufN map to native
+    functions (whole-stage codegen; Python slicing semantics replicated:
+    words shorter than N come through whole); ``shape`` has no native
+    equivalent and falls back to the Arrow-batched UDF."""
+    if xf == "lower":
+        return F.lower(col)
+    if xf.startswith("pre"):
+        return col.substr(F.lit(1), F.lit(int(xf[3:])))
+    if xf.startswith("suf"):
+        n = int(xf[3:])
+        return col.substr(
+            F.greatest(F.length(col) - (n - 1), F.lit(1)), F.lit(n)
+        )
+    return _xform_udf(xf)(col)
 
 
 def _xform_udf(xf: str):
@@ -143,8 +159,17 @@ def build_registry(
 
     u_tpls = normalize_templates(u_templates or U_TEMPLATES)
     b_tpls = normalize_templates(b_templates or B_TEMPLATES)
-    xforms = tuple(sorted({xf for _, _, xf in u_tpls + b_tpls if xf != "w"}))
-    ctx = _context_frame(sentences, xforms=xforms).persist()
+    xform_pairs = tuple(
+        sorted(
+            {
+                (o, xf)
+                for _, offs, xf in u_tpls + b_tpls
+                if xf != "w"
+                for o in offs
+            }
+        )
+    )
+    ctx = _context_frame(sentences, xform_pairs=xform_pairs).persist()
 
     pieces = []
     rule_order = 0

@@ -43,6 +43,12 @@ def decode_and_extract(
         }
     )
     key_cols = tuple(c for c in key_cols if c in turns.columns)
+    if not key_cols:
+        raise ValueError(
+            "decode_and_extract: none of the requested key columns exist in "
+            f"the input (columns: {turns.columns}); at least one key column "
+            "is required to attribute spans"
+        )
     in_df = turns.select(*key_cols, token_col)
     key_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
@@ -107,6 +113,12 @@ def decode_and_extract_crf(
     spark = turns.sparkSession
     bc = spark.sparkContext.broadcast(model)
     key_cols = tuple(c for c in key_cols if c in turns.columns)
+    if not key_cols:
+        raise ValueError(
+            "decode_and_extract: none of the requested key columns exist in "
+            f"the input (columns: {turns.columns}); at least one key column "
+            "is required to attribute spans"
+        )
     in_df = turns.select(*key_cols, token_col)
     key_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"

@@ -57,9 +57,14 @@ def build_graph(
         )
         .select("component", F.col("best.surface").alias("canonical"))
     )
-    # persisted: feeds the nodes aggregate AND both resolution joins of
-    # the edges path; without it every consumer re-runs linking + CC
-    enriched = keyed.join(canon, "component").persist()
+    # eager localCheckpoint: feeds the nodes aggregate AND both resolution
+    # joins of the edges path (without it every consumer re-runs linking +
+    # CC). Unlike a bare persist(), its blocks are released by the
+    # ContextCleaner once the returned frames are garbage-collected, so
+    # repeated build_graph calls in a long-lived session don't accumulate
+    # cached blocks; and cands can be dropped as soon as it materializes.
+    enriched = keyed.join(canon, "component").localCheckpoint(eager=True)
+    cands.unpersist()
 
     nodes = (
         enriched.groupBy("component", "canonical")
@@ -132,5 +137,4 @@ def build_graph(
         .groupBy("node_id", "canonical", "entity_type")
         .agg(F.first("aliases").alias("aliases"), F.count("*").alias("n_mentions"))
     )
-    cands.unpersist()
     return nodes.unionByName(tool_nodes), edges

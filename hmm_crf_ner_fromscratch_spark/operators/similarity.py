@@ -169,6 +169,31 @@ def lsh_topk(
     )
 
 
+def _sample_filter(id_col: str, seed: int):
+    """Deterministic ~1/3 sample predicate built from md5 arithmetic so it
+    is reproducible in any engine (the DuckDB oracle re-derives the same
+    sample; same construction as :func:`_hyperplane`)."""
+    return (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"kmsample{seed}:"), F.col(id_col).cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(97),
+        )
+        < F.lit(32)
+    )
+
+
 def kmeans_centroids(
     emb: DataFrame,
     n_clusters: int = 16,
@@ -181,36 +206,47 @@ def kmeans_centroids(
     """Driver-side Lloyd iterations over a deterministic sample -- the IVF
     coarse quantizer. The sample (and therefore the codebook) is tiny and
     driver-sized by design; assignment of the full corpus is distributed
-    (see :func:`ivf_topk`). Returns (n_clusters, dim) float64 ndarray."""
+    (see :func:`ivf_topk`).
+
+    Exact-integer discipline: the sample is quantized to milli-units,
+    distances are int64 squared-L2 sums (order-independent), centroid
+    updates are floor-division integer means, argmin tie-breaks are
+    first-index. Every step is therefore bit-reproducible in any engine
+    -- the DuckDB oracle unrolls the same iterations in SQL. Returns a
+    (n_clusters, dim) int64 ndarray in milli-units."""
     import numpy as np
 
     rows = (
         emb.select(id_col, vec_col)
-        .where(F.pmod(F.xxhash64(id_col, F.lit(seed)), F.lit(97)) < F.lit(32))
+        .where(_sample_filter(id_col, seed))
+        .orderBy(id_col)
         .limit(sample)
         .collect()
     )
-    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    X = np.round(np.array([list(r[1]) for r in rows], dtype=np.float64) * QUANT).astype(
+        np.int64
+    )
     if len(X) < n_clusters:
         raise ValueError(f"sample too small for {n_clusters} clusters")
-    # deterministic init: first occurrence order of the sample
+    # deterministic init: the n_clusters lowest-id sampled vectors
     C = X[:n_clusters].copy()
     for _ in range(n_iter):
         d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        assign = d.argmin(axis=1)  # first-index tie-break
         for c in range(n_clusters):
             members = X[assign == c]
             if len(members):
-                C[c] = members.mean(axis=0)
+                C[c] = members.sum(axis=0) // len(members)  # floor division
     return C
 
 
 def _assign_cluster(qdf: DataFrame, centroids, q_col: str = "q") -> DataFrame:
-    """Distributed nearest-centroid assignment: centroids folded into the
-    plan as literals (tiny codebook), squared L2 on the quantized ints."""
+    """Distributed nearest-centroid assignment: centroids (already int64
+    milli-units) folded into the plan as literals (tiny codebook), squared
+    L2 on the quantized ints; array_position(min) = first-index tie-break."""
     import numpy as np
 
-    Cq = np.round(np.asarray(centroids) * QUANT).astype(np.int64)
+    Cq = np.asarray(centroids, dtype=np.int64)
     dists = []
     for c in range(Cq.shape[0]):
         cvec = F.array(*[F.lit(int(v)) for v in Cq[c]])
@@ -246,7 +282,7 @@ def ivf_topk(
     corpus = _assign_cluster(base, C)
 
     # query probes: n_probe nearest centroids, exploded
-    Cq = np.round(C * QUANT).astype(np.int64)
+    Cq = np.asarray(C, dtype=np.int64)  # already milli-units
     qrows = base.where(F.col("vec_id").isin(list(query_ids))).collect()
     probe_rows = []
     for r in qrows:

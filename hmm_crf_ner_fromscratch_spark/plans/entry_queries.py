@@ -845,22 +845,177 @@ WHERE CAST(dot * abs(dot) AS DOUBLE) / CAST(na * nb AS DOUBLE) >= {NEARDUP_THRES
 """
 
 
+LSH_N_PLANES = 4
+LSH_DIM = 64
+
+
 def q_ann_lsh_topk(spark, sf_dir):
-    """Approximate NN via sign-LSH bucketing -- rows-only (the recall-vs-
-    brute-force contract is asserted in tests/test_data_ops.py)."""
+    """Approximate NN via sign-LSH bucketing. The hyperplanes are
+    md5-derived integers, so the full pipeline (bucketing, multi-probe,
+    scoring, ranking) is reproduced exactly by the DuckDB oracle; the
+    recall-vs-brute-force contract is additionally asserted in
+    tests/test_data_ops.py."""
     from ..operators.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_topk(emb, query_ids=list(range(8)), k=10, n_planes=4)
+    return lsh_topk(
+        emb, query_ids=list(range(N_QUERY_VECS)), k=TOP_K, n_planes=LSH_N_PLANES, dim=LSH_DIM
+    )
+
+
+def _lsh_sql(n_planes: int = LSH_N_PLANES, dim: int = LSH_DIM) -> str:
+    """SQL mirror of similarity.lsh_topk: same md5 hyperplanes, same
+    sign-bit bucket, same multi-probe set (own bucket + every 1-bit
+    flip), same quantized integer scoring and (sim DESC, neighbor_id)
+    ranking."""
+    probe_flips = ", ".join(str(1 << p) for p in range(n_planes))
+    return f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings),
+n AS (
+  SELECT vec_id, qv,
+         (SELECT sum(qv[i] * qv[i]) FROM unnest(generate_series(1, len(qv))) AS t(i)) AS nrm
+  FROM q),
+hp AS (
+  SELECT p.p, i.i,
+         ('0x' || substring(md5('hp' || CAST(p.p AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 15))::BIGINT
+           % 1001 - 500 AS h
+  FROM (SELECT unnest(generate_series(0, {n_planes - 1})) AS p) p,
+       (SELECT unnest(generate_series(0, {dim - 1})) AS i) i),
+dots AS (
+  SELECT n.vec_id, hp.p, sum(n.qv[hp.i + 1] * hp.h) AS dot
+  FROM n, hp GROUP BY 1, 2),
+buck AS (
+  SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+  FROM dots GROUP BY 1),
+base AS (SELECT n.vec_id, n.qv, n.nrm, b.bucket FROM n JOIN buck b USING (vec_id)),
+probes AS (
+  SELECT vec_id AS query_id, qv AS qq, nrm AS qn, xor(bucket, f.fl) AS bucket
+  FROM base, (SELECT unnest([0, {probe_flips}]) AS fl) f
+  WHERE vec_id < {N_QUERY_VECS}),
+pairs AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         (SELECT sum(p.qq[i] * c.qv[i]) FROM unnest(generate_series(1, {dim})) AS t(i)) AS dot,
+         p.qn AS qn, c.nrm AS nrm
+  FROM probes p JOIN base c ON p.bucket = c.bucket AND p.query_id <> c.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot * abs(dot) AS DOUBLE) / CAST(qn * nrm AS DOUBLE) AS sim
+  FROM pairs),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+IVF_N_CLUSTERS = 8
+IVF_N_PROBE = 3
+IVF_N_ITER = 8
+IVF_SAMPLE = 4096
+IVF_SEED = 42
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF (k-means coarse quantizer) approximate NN -- rows-only; the
-    recall contract on clustered vectors is asserted in tests."""
+    """IVF (k-means coarse quantizer) approximate NN. The quantizer is
+    exact-integer Lloyd over an md5-selected sample, so the DuckDB oracle
+    reproduces the entire pipeline -- codebook, corpus assignment, probes,
+    scoring -- bit-for-bit; the recall contract on clustered vectors is
+    additionally asserted in tests."""
     from ..operators.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(emb, query_ids=list(range(8)), k=10, n_clusters=8, n_probe=3)
+    return ivf_topk(
+        emb,
+        query_ids=list(range(N_QUERY_VECS)),
+        k=TOP_K,
+        n_clusters=IVF_N_CLUSTERS,
+        n_probe=IVF_N_PROBE,
+    )
+
+
+def _ivf_sql(
+    n_clusters: int = IVF_N_CLUSTERS,
+    n_probe: int = IVF_N_PROBE,
+    n_iter: int = IVF_N_ITER,
+    sample: int = IVF_SAMPLE,
+    seed: int = IVF_SEED,
+    dim: int = 64,
+) -> str:
+    """SQL mirror of similarity.ivf_topk: the integer Lloyd iterations are
+    unrolled as CTE pairs (assignment by first-min squared L2, centroid
+    update by floor-division integer mean, empty clusters keep their old
+    centroid), then corpus assignment, query probes (n_probe first-min
+    centroids), quantized scoring and ranking -- all exact int64/double
+    arithmetic, no float accumulation anywhere."""
+    head = f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings),
+n AS (
+  SELECT vec_id, qv,
+         (SELECT sum(qv[i] * qv[i]) FROM unnest(generate_series(1, len(qv))) AS t(i)) AS nrm
+  FROM q),
+dims AS (SELECT unnest(generate_series(0, {dim - 1})) AS d),
+samp AS (
+  SELECT vec_id, qv, row_number() OVER (ORDER BY vec_id) AS rn
+  FROM q
+  WHERE ('0x' || substring(md5('kmsample{seed}:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 97 < 32),
+pts AS (
+  SELECT s.vec_id AS pid, d.d, s.qv[d.d + 1] AS x
+  FROM samp s, dims d WHERE s.rn <= {sample}),
+c0 AS (
+  SELECT s.rn - 1 AS cl, d.d, s.qv[d.d + 1] AS c
+  FROM samp s, dims d WHERE s.rn <= {n_clusters})"""
+    iters = []
+    for t in range(1, n_iter + 1):
+        iters.append(f""",
+dist{t} AS (
+  SELECT p.pid, c.cl, sum((p.x - c.c) * (p.x - c.c)) AS d2
+  FROM pts p JOIN c{t - 1} c ON p.d = c.d GROUP BY 1, 2),
+asgn{t} AS (
+  SELECT pid, cl FROM (
+    SELECT pid, cl, row_number() OVER (PARTITION BY pid ORDER BY d2, cl) AS r
+    FROM dist{t}) WHERE r = 1),
+cm{t} AS (
+  SELECT a.cl, p.d, CAST(floor(CAST(sum(p.x) AS DOUBLE) / count(*)) AS BIGINT) AS c
+  FROM asgn{t} a JOIN pts p ON a.pid = p.pid GROUP BY 1, 2),
+c{t} AS (
+  SELECT prev.cl, prev.d, coalesce(cm.c, prev.c) AS c
+  FROM c{t - 1} prev LEFT JOIN cm{t} cm ON cm.cl = prev.cl AND cm.d = prev.d)""")
+    tail = f""",
+cdist AS (
+  SELECT n.vec_id, c.cl, sum((n.qv[c.d + 1] - c.c) * (n.qv[c.d + 1] - c.c)) AS d2
+  FROM n, c{n_iter} c GROUP BY 1, 2),
+corp AS (
+  SELECT vec_id, cl AS cluster FROM (
+    SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS r
+    FROM cdist) WHERE r = 1),
+probes AS (
+  SELECT vec_id AS query_id, cl AS cluster FROM (
+    SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS r
+    FROM cdist WHERE vec_id < {N_QUERY_VECS}) WHERE r <= {n_probe}),
+pairs AS (
+  SELECT p.query_id, co.vec_id AS neighbor_id,
+         (SELECT sum(nq.qv[i] * nn.qv[i]) FROM unnest(generate_series(1, {dim})) AS t(i)) AS dot,
+         nq.nrm AS qn, nn.nrm AS nrm
+  FROM probes p
+  JOIN corp co ON co.cluster = p.cluster AND co.vec_id <> p.query_id
+  JOIN n nq ON nq.vec_id = p.query_id
+  JOIN n nn ON nn.vec_id = co.vec_id),
+scored AS (
+  SELECT DISTINCT query_id, neighbor_id,
+         CAST(dot * abs(dot) AS DOUBLE) / CAST(qn * nrm AS DOUBLE) AS sim
+  FROM pairs),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= {TOP_K}
+"""
+    return head + "".join(iters) + tail
 
 
 N_ASSETS = 500
@@ -1077,6 +1232,8 @@ ORACLES = {
     "langid_confusion": _langid_sql(),
     "cosine_neardup": SQL_COSINE_NEARDUP,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "ann_lsh_topk": _lsh_sql(),
+    "ann_ivf_topk": _ivf_sql(),
     "word_count": SQL_WORD_COUNT,
     "initial_token_count": SQL_INITIAL_TOKEN_COUNT,
     "transition_count": SQL_TRANSITION_COUNT,

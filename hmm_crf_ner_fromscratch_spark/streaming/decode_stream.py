@@ -148,7 +148,14 @@ def stream_entity_state(
         pdf = pd.concat(list(pdfs), ignore_index=True)
         if len(pdf):
             pdf = pdf.sort_values(["turn_idx", "span_start"], kind="stable")
-            keys = pdf["entity_type"] + "|" + pdf["surface"]
+            # length-prefixed key: unambiguous even when entity_type or
+            # surface themselves contain the separator character
+            keys = (
+                pdf["entity_type"].str.len().astype(str)
+                + "|"
+                + pdf["entity_type"]
+                + pdf["surface"]
+            )
             is_new = ~keys.duplicated() & ~keys.isin(seen)
             n_seen = is_new.cumsum() + len(seen)
             out = pd.DataFrame(

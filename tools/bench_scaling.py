@@ -136,7 +136,10 @@ def main():
     ) as f:
         f.write(WORKER % {"repo": REPO})
         worker_path = f.name
-    results = {c: run(c, n_turns, plain, worker_path, zip_path) for c in (2, 8, 32)}
+    try:
+        results = {c: run(c, n_turns, plain, worker_path, zip_path) for c in (2, 8, 32)}
+    finally:
+        os.unlink(worker_path)
     eff_2_8 = (results[8]["tokens_per_sec"] / results[2]["tokens_per_sec"]) / 4
     eff_8_32 = (results[32]["tokens_per_sec"] / results[8]["tokens_per_sec"]) / 4
     print(
