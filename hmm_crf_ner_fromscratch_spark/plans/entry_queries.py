@@ -332,6 +332,99 @@ FROM counts
 """
 
 
+# labels list for the sklearn-shaped report; MISC never occurs -> pins
+# the fixed-label-list semantics (zero-support labels still count in the
+# macro average denominator, exactly like sklearn with labels=[...])
+EVAL_LABELS = ["OP", "OBJ", "MISC"]
+
+
+def q_eval_report(spark, sf_dir):
+    """check.py classification_report parity: per-label rows plus
+    micro/macro/weighted averages over an explicit ordered label list."""
+    from ..operators.evaluation import classification_report_pairs
+
+    toks = _toks(spark, sf_dir).select(F.explode("toks").alias("word"))
+    pairs = toks.select(
+        _dict_class(F.col("word")).alias("gold"),
+        _dict_class(F.col("word"), OP_COARSE, OBJ_COARSE).alias("pred"),
+    )
+    return classification_report_pairs(pairs, EVAL_LABELS)
+
+
+def _eval_report_sql(labels=None) -> str:
+    """SQL mirror of evaluation.classification_report_pairs: identical
+    expression trees (single-division ratios, left-associated sums in
+    label-list order) so doubles match bit-for-bit."""
+    labels = labels or EVAL_LABELS
+    n = len(labels)
+    count_defs = []
+    for i, l in enumerate(labels):
+        count_defs += [
+            f"CAST(sum(CASE WHEN gold = '{l}' AND pred = '{l}' THEN 1 ELSE 0 END) AS BIGINT) AS tp{i}",
+            f"CAST(sum(CASE WHEN pred = '{l}' AND gold <> '{l}' THEN 1 ELSE 0 END) AS BIGINT) AS fp{i}",
+            f"CAST(sum(CASE WHEN gold = '{l}' AND pred <> '{l}' THEN 1 ELSE 0 END) AS BIGINT) AS fn{i}",
+        ]
+
+    def p(i):
+        return f"(CAST(tp{i} AS DOUBLE) / greatest(tp{i} + fp{i}, 1))"
+
+    def r(i):
+        return f"(CAST(tp{i} AS DOUBLE) / greatest(tp{i} + fn{i}, 1))"
+
+    def f(i):
+        return (
+            f"(CASE WHEN {p(i)} + {r(i)} > 0 "
+            f"THEN 2 * {p(i)} * {r(i)} / ({p(i)} + {r(i)}) ELSE 0.0 END)"
+        )
+
+    def sup(i):
+        return f"(tp{i} + fn{i})"
+
+    tot_sup = " + ".join(sup(i) for i in range(n))
+    mic_tp = " + ".join(f"tp{i}" for i in range(n))
+    mic_fp = " + ".join(f"fp{i}" for i in range(n))
+    mic_fn = " + ".join(f"fn{i}" for i in range(n))
+    mic_p = f"(CAST({mic_tp} AS DOUBLE) / greatest({mic_tp} + {mic_fp}, 1))"
+    mic_r = f"(CAST({mic_tp} AS DOUBLE) / greatest({mic_tp} + {mic_fn}, 1))"
+    mic_f = (
+        f"(CASE WHEN {mic_p} + {mic_r} > 0 "
+        f"THEN 2 * {mic_p} * {mic_r} / ({mic_p} + {mic_r}) ELSE 0.0 END)"
+    )
+    rows = [
+        f"SELECT {i} AS label_idx, '{l}' AS label, {sup(i)} AS support, "
+        f"{p(i)} AS precision, {r(i)} AS recall, {f(i)} AS f1 FROM c"
+        for i, l in enumerate(labels)
+    ]
+    rows.append(
+        f"SELECT {n} AS label_idx, 'micro_avg' AS label, {tot_sup} AS support, "
+        f"{mic_p} AS precision, {mic_r} AS recall, {mic_f} AS f1 FROM c"
+    )
+    rows.append(
+        f"SELECT {n + 1} AS label_idx, 'macro_avg' AS label, {tot_sup} AS support, "
+        f"({' + '.join(p(i) for i in range(n))}) / {n} AS precision, "
+        f"({' + '.join(r(i) for i in range(n))}) / {n} AS recall, "
+        f"({' + '.join(f(i) for i in range(n))}) / {n} AS f1 FROM c"
+    )
+    rows.append(
+        f"SELECT {n + 2} AS label_idx, 'weighted_avg' AS label, {tot_sup} AS support, "
+        f"({' + '.join(f'{sup(i)} * {p(i)}' for i in range(n))}) / greatest({tot_sup}, 1) AS precision, "
+        f"({' + '.join(f'{sup(i)} * {r(i)}' for i in range(n))}) / greatest({tot_sup}, 1) AS recall, "
+        f"({' + '.join(f'{sup(i)} * {f(i)}' for i in range(n))}) / greatest({tot_sup}, 1) AS f1 FROM c"
+    )
+    return f"""
+WITH scored AS (
+  SELECT CASE WHEN tok IN ({_sql_list(OP_WORDS)}) THEN 'OP'
+              WHEN tok IN ({_sql_list(OBJ_WORDS)}) THEN 'OBJ' ELSE 'O' END AS gold,
+         CASE WHEN tok IN ({_sql_list(OP_COARSE)}) THEN 'OP'
+              WHEN tok IN ({_sql_list(OBJ_COARSE)}) THEN 'OBJ' ELSE 'O' END AS pred
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+c AS (
+  SELECT {', '.join(count_defs)}
+  FROM scored)
+{' UNION ALL '.join(rows)}
+"""
+
+
 # =====================================================================
 # Dedup: exact + minhash-LSH-blocked shingle Jaccard
 # =====================================================================
@@ -1211,6 +1304,7 @@ QUERIES = {
     "dict_triples": q_dict_triples,
     "edge_weights": q_edge_weights,
     "eval_prf": q_eval_prf,
+    "eval_report": q_eval_report,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "sim_topk": q_sim_topk,
@@ -1242,6 +1336,7 @@ ORACLES = {
     "dict_triples": SQL_DICT_TRIPLES,
     "edge_weights": SQL_EDGE_WEIGHTS,
     "eval_prf": SQL_EVAL_PRF,
+    "eval_report": _eval_report_sql(),
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "sim_topk": SQL_SIM_TOPK,

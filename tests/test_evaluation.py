@@ -57,6 +57,75 @@ def test_evaluate_tagging_on_reference_example(spark):
     assert got["B-ORG"].fn == 2 and got["B-PER"].fp == 2
 
 
+def test_classification_report_on_reference_example(spark):
+    """check.py:38-40 parity: classification_report(labels=sort_labels[1:])
+    over the bundled example pair, verified against a from-scratch
+    transcription of the sklearn fixed-label-list formulas (sklearn is
+    not installed here; the formulas are pinned in the operator docstring).
+    The English label list includes tags absent from the 104-line example
+    (e.g. I-PER), exercising the zero-support-in-macro semantics."""
+    from hmm_crf_ner_fromscratch_spark.operators.evaluation import (
+        classification_report,
+    )
+
+    labels = [  # check.py sorted_labels_eng[1:]
+        "B-PER", "I-PER", "B-ORG", "I-ORG", "B-LOC", "I-LOC", "B-MISC", "I-MISC",
+    ]
+    gold = read_conll(spark, GOLD, doc_id="ex")
+    pred = read_conll(spark, PRED, doc_id="ex").withColumnRenamed("tags", "tags_pred")
+    got = {r.label: r for r in classification_report(gold, pred, labels).collect()}
+    assert [got[l].label_idx for l in labels] == list(range(len(labels)))
+
+    def tags_of(path):
+        return [
+            line.strip().split()[-1]
+            for line in open(path, encoding="utf-8")
+            if line.strip()
+        ]
+
+    g, p = tags_of(GOLD), tags_of(PRED)
+    tp, fp, fn = Counter(), Counter(), Counter()
+    for gt, pt in zip(g, p):
+        if gt in labels:
+            (tp if gt == pt else fn)[gt] += 1
+        if pt in labels and pt != gt:
+            fp[pt] += 1
+
+    def prf(t, P, N):  # sklearn zero_division -> 0
+        prec = t / (t + P) if t + P else 0.0
+        rec = t / (t + N) if t + N else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        return prec, rec, f1
+
+    per = {l: prf(tp[l], fp[l], fn[l]) for l in labels}
+    for l in labels:
+        r = got[l]
+        assert r.support == tp[l] + fn[l], l
+        assert abs(r.precision - per[l][0]) < 1e-12, l
+        assert abs(r.recall - per[l][1]) < 1e-12, l
+        assert abs(r.f1 - per[l][2]) < 1e-12, l
+
+    TP, FP, FN = sum(tp.values()), sum(fp.values()), sum(fn.values())
+    mp, mr, mf = prf(TP, FP, FN)
+    assert abs(got["micro_avg"].precision - mp) < 1e-12
+    assert abs(got["micro_avg"].f1 - mf) < 1e-12
+    n = len(labels)
+    # macro: mean over ALL listed labels, zero-support ones included
+    assert abs(got["macro_avg"].precision - sum(per[l][0] for l in labels) / n) < 1e-12
+    assert abs(got["macro_avg"].f1 - sum(per[l][2] for l in labels) / n) < 1e-12
+    tot = sum(tp[l] + fn[l] for l in labels)
+    assert got["weighted_avg"].support == tot
+    assert (
+        abs(
+            got["weighted_avg"].f1
+            - sum((tp[l] + fn[l]) * per[l][2] for l in labels) / max(tot, 1)
+        )
+        < 1e-12
+    )
+    # at least one listed label must have zero support in the example
+    assert any(got[l].support == 0 for l in labels)
+
+
 def test_tfidf_link_scores(spark):
     rows = [
         ("c", 0, "user", None, 0, 2, "ORG", "Barnett Banks Inc."),
