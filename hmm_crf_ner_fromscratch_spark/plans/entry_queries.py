@@ -1158,8 +1158,15 @@ SELECT asset_id, modality, bin, CAST(c AS DOUBLE) / 64 AS value FROM dense
 
 def q_hmm_decode_dict(spark, sf_dir):
     """Full HMM train+decode loop as a query: train on dictionary-tagged
-    documents with doc_id % 5 != 0, decode the held-out 20%. Rows-only
-    check; the bit-match suite is the real gate for decode correctness."""
+    documents with doc_id % 5 != 0, decode the held-out 20%.
+
+    Oracle-checked end to end: the DuckDB SQL (``_hmm_decode_sql``)
+    re-derives the count tables, assembles the log-prob model with the
+    reference's exact smoothing formulas and quirks Q1-Q3 (libm ``ln`` on
+    identical doubles), and runs the Viterbi DP as a recursive CTE with
+    the same left-associated float adds and first-index-wins argmaxes --
+    so the decoded tag strings match exactly. The bit-match suite against
+    the reference binary remains the deepest gate."""
     from ..operators.hmm import decode_hmm, train_hmm
 
     tagged = _toks(spark, sf_dir).select(
@@ -1180,6 +1187,153 @@ def q_hmm_decode_dict(spark, sf_dir):
         "doc_id",
         F.posexplode(F.arrays_zip(F.col("tokens").alias("word"), F.col("tags_pred").alias("tag"))).alias("pos", "wt"),
     ).select("doc_id", "pos", F.col("wt.word").alias("word"), F.col("wt.tag").alias("tag"))
+
+
+def _hmm_decode_sql() -> str:
+    """SQL mirror of q_hmm_decode_dict: HMM training (operators/hmm.py
+    train_hmm, reference formulas hmm_ner.py:57-109 incl. quirks Q1-Q3)
+    plus Viterbi decode (functions/viterbi.py) as a recursive CTE.
+
+    Determinism contract with the Spark side:
+      * identical count tables (exact integers);
+      * identical model doubles -- every expression keeps the Python
+        operand order ((cnt + 1e-10) / (N + K*1e-10) etc.) and DuckDB's
+        ``ln`` and CPython's ``math.log`` are both libm;
+      * identical DP -- scores are ((dp_i + a_ij) + e_j) left-associated,
+        argmax is a first-index-wins CASE chain, per-state best paths are
+        carried forward as lists (no backtracking pass needed).
+    K = 3 tags (B-OP, B-OBJ, O); the state vector is unrolled into
+    columns, so no aggregates appear in the recursive term."""
+    K = 3
+    tag_case = (
+        f"CASE WHEN word IN ({_sql_list(OP_WORDS)}) THEN 'B-OP' "
+        f"WHEN word IN ({_sql_list(OBJ_WORDS)}) THEN 'B-OBJ' ELSE 'O' END"
+    )
+    rng = range(K)
+
+    def s(i, j):
+        return f"((d.dp{i} + m.a{i}{j}) + e.e{j})"
+
+    def argmax_case(scores, results):
+        """First-index-wins argmax as a CASE chain (np.argmax semantics)."""
+        whens = []
+        for i in range(len(scores) - 1):
+            cond = " AND ".join(
+                f"{scores[i]} >= {scores[m]}" for m in range(i + 1, len(scores))
+            )
+            whens.append(f"WHEN {cond} THEN {results[i]}")
+        return "CASE " + " ".join(whens) + f" ELSE {results[-1]} END"
+
+    em_pivot = ", ".join(
+        f"max(CASE WHEN idx = {j} THEN e END) AS e{j}" for j in rng
+    )
+    pi_pivot = ", ".join(
+        f"max(CASE WHEN idx = {j} THEN pi END) AS pi{j}" for j in rng
+    )
+    a_pivot = ", ".join(
+        f"max(CASE WHEN i = {i} AND j = {j} THEN a END) AS a{i}{j}"
+        for i in rng
+        for j in rng
+    )
+    base_cols = ", ".join(
+        [f"m.pi{j} + e.e{j} AS dp{j}" for j in rng] + [f"[{j}] AS p{j}" for j in rng]
+    )
+    step_dp = ", ".join(
+        "greatest(" + ", ".join(s(i, j) for i in rng) + f") AS dp{j}" for j in rng
+    )
+    step_p = ", ".join(
+        argmax_case(
+            [s(i, j) for i in rng], [f"list_append(d.p{i}, {j})" for i in rng]
+        )
+        + f" AS p{j}"
+        for j in rng
+    )
+    win_path = argmax_case([f"dp{j}" for j in rng], [f"p{j}" for j in rng])
+
+    return f"""
+WITH RECURSIVE
+train AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id % 5 <> 0),
+ttok AS (
+  SELECT doc_id, i - 1 AS pos, word, {tag_case} AS tag
+  FROM (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM train),
+       LATERAL (SELECT toks[i] AS word)),
+-- first-occurrence tag order over (doc_id, pos); pos < 1e6 so the
+-- arithmetic encoding is an exact lexicographic key
+tagidx AS (
+  SELECT tag, CAST(row_number() OVER (ORDER BY min(doc_id * 1000000 + pos)) - 1 AS INT) AS idx
+  FROM ttok GROUP BY tag),
+tagcnt AS (SELECT tag, count(*) AS cnt FROM ttok GROUP BY tag),
+vsize AS (SELECT count(DISTINCT word) AS v FROM ttok),
+nsent AS (SELECT count(*) AS n FROM train WHERE len(toks) > 0),
+icnt AS (
+  SELECT {tag_case.replace("word", "toks[1]")} AS tag, count(*) AS cnt
+  FROM train WHERE len(toks) > 0 GROUP BY 1),
+tcnt AS (
+  SELECT a.tag AS prev, b.tag AS curr, count(*) AS cnt
+  FROM ttok a JOIN ttok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2),
+rowtot AS (SELECT prev, sum(cnt) AS total FROM tcnt GROUP BY prev),
+ecnt AS (SELECT tag, word, count(*) AS cnt FROM ttok GROUP BY 1, 2),
+pil AS (
+  SELECT ti.idx,
+         CASE WHEN ic.cnt IS NOT NULL
+              THEN ln((ic.cnt + 1e-10) / (ns.n + {K} * 1e-10))
+              ELSE 0.0 END AS pi
+  FROM tagidx ti LEFT JOIN icnt ic ON ic.tag = ti.tag CROSS JOIN nsent ns),
+al AS (
+  SELECT ti.idx AS i, tj.idx AS j,
+         CASE WHEN rt.total IS NULL THEN 0.0
+              WHEN tc.cnt IS NOT NULL
+                   AND ln(CAST(tc.cnt + 1 AS DOUBLE) / (rt.total + {K})) <> 0.0
+              THEN ln(CAST(tc.cnt + 1 AS DOUBLE) / (rt.total + {K}))
+              ELSE ln(CAST(1 AS DOUBLE) / (rt.total + {K})) END AS a
+  FROM tagidx ti CROSS JOIN tagidx tj
+  LEFT JOIN rowtot rt ON rt.prev = ti.tag
+  LEFT JOIN tcnt tc ON tc.prev = ti.tag AND tc.curr = tj.tag),
+mpi AS (SELECT {pi_pivot} FROM pil),
+ma AS (SELECT {a_pivot} FROM al),
+model AS (SELECT * FROM mpi CROSS JOIN ma),
+test AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id % 5 = 0),
+doclen AS (SELECT doc_id, len(toks) AS n FROM test),
+ttest AS (
+  SELECT doc_id, i AS t, toks[i] AS word
+  FROM (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM test)),
+-- emission: known-but-unseen (tag,word) and unknown words share the same
+-- value ln(1/(count(t)+V)) = ln((0+1)/(count(t)+V)) (quirk Q3), so one
+-- expression covers all cases
+eml AS (
+  SELECT tt.doc_id, tt.t, ti.idx,
+         ln((coalesce(ec.cnt, 0) + CAST(1 AS DOUBLE)) / (tc.cnt + vs.v)) AS e
+  FROM ttest tt CROSS JOIN tagidx ti
+  JOIN tagcnt tc ON tc.tag = ti.tag
+  CROSS JOIN vsize vs
+  LEFT JOIN ecnt ec ON ec.word = tt.word AND ec.tag = ti.tag),
+em AS (SELECT doc_id, t, {em_pivot} FROM eml GROUP BY doc_id, t),
+dp AS (
+  SELECT e.doc_id, 1 AS t, dl.n, {base_cols}
+  FROM em e CROSS JOIN model m JOIN doclen dl ON dl.doc_id = e.doc_id
+  WHERE e.t = 1
+  UNION ALL
+  SELECT d.doc_id, d.t + 1, d.n, {step_dp}, {step_p}
+  FROM dp d
+  JOIN em e ON e.doc_id = d.doc_id AND e.t = d.t + 1
+  CROSS JOIN model m
+  WHERE d.t < d.n),
+win AS (
+  SELECT doc_id, {win_path} AS path
+  FROM dp WHERE t = n),
+outp AS (
+  SELECT w.doc_id, CAST(gs.i - 1 AS INT) AS pos, w.path[gs.i] AS tidx
+  FROM win w, LATERAL unnest(generate_series(1, len(w.path))) AS gs(i))
+SELECT o.doc_id, o.pos, tt.word, ti.tag
+FROM outp o
+JOIN ttest tt ON tt.doc_id = o.doc_id AND tt.t = o.pos + 1
+JOIN tagidx ti ON ti.idx = o.tidx
+"""
 
 
 def q_crf_decode_dict(spark, sf_dir):
@@ -1346,5 +1500,7 @@ ORACLES = {
     "top_customers": SQL_TOP_CUSTOMERS,
     "sessionize": SQL_SESSIONIZE,
     "hourly_event_counts": SQL_HOURLY_EVENT_COUNTS,
-    # hmm_decode_dict, kg_pipeline: rows-only (Viterbi not SQL-expressible)
+    "hmm_decode_dict": _hmm_decode_sql(),
+    # crf_decode_dict, kg_pipeline: rows-only (trained-CRF decode and the
+    # fused KG pipeline embed learned state not reproducible in SQL)
 }
