@@ -71,35 +71,30 @@ def brute_force_topk(
     )
 
 
+def hyperplane_values(plane: int, dim: int) -> list[int]:
+    """Deterministic pseudo-random hyperplane components: integers in
+    [-500, 500] derived from md5, so the construction is reproducible in
+    any engine. This Python form computes EXACTLY what the SQL form
+    ``('0x' || substring(md5('hp{p}:' || i), 1, 15))::BIGINT % 1001 - 500``
+    computes (15 hex digits < 2^60, always positive, so %% == pmod) --
+    the DuckDB oracles re-derive the same planes from the formula."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"hp{plane}:{i}".encode()).hexdigest()[:15], 16) % 1001 - 500
+        for i in range(dim)
+    ]
+
+
 def _hyperplane(plane: int, dim: int):
-    """Deterministic pseudo-random hyperplane component: integer in
-    [-500, 500] derived from md5 (md5 so the construction is reproducible
-    in any engine, e.g. the DuckDB oracles)."""
+    """Dot product with a hyperplane, as a Spark column function. The
+    plane components are driver-computed constants folded into the plan
+    as an array literal -- NOT per-row md5 expressions, which would
+    recompute dim x n_planes hashes for every corpus row."""
+    hvals = hyperplane_values(plane, dim)
+    harr = F.array(*[F.lit(v) for v in hvals])
     return lambda q: F.aggregate(
-        F.zip_with(
-            q,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda i: F.pmod(
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(
-                                    F.lit(f"hp{plane}:"), i.cast("string")
-                                ).cast("binary")
-                            ),
-                            1,
-                            15,
-                        ),
-                        16,
-                        10,
-                    ).cast("long"),
-                    F.lit(1001),
-                )
-                - 500,
-            ),
-            lambda u, h: u * h,
-        ),
+        F.zip_with(q, harr, lambda u, h: u * h),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
@@ -314,16 +309,44 @@ def ivf_topk(
     )
 
 
+TARGET_BUCKET_OCCUPANCY = 256
+
+
+def planes_for_corpus(n_rows: int, target: int = TARGET_BUCKET_OCCUPANCY) -> int:
+    """Number of LSH planes that bounds EXPECTED bucket occupancy at
+    ``target`` rows: 2^planes >= n/target. Candidate pairs then scale as
+    n * target / 2 instead of n^2 / 2^planes with a fixed plane count --
+    the difference between linear and quadratic at 10^9 vectors. Clamped
+    to [4, 24] (beyond 24 planes sign-LSH recall for near-dup thresholds
+    degrades faster than occupancy improves; shard the corpus instead)."""
+    import math
+
+    if n_rows <= target:
+        return 4
+    return max(4, min(24, math.ceil(math.log2(n_rows / target))))
+
+
 def cosine_near_duplicates(
     emb: DataFrame,
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 4,
+    n_planes: int | None = None,
     dim: int = 64,
 ) -> DataFrame:
     """All pairs with quantized signed-cosine >= threshold, LSH-blocked
-    (same-bucket pairs only) to stay subquadratic at corpus scale."""
+    (same-bucket pairs only) to stay subquadratic at corpus scale.
+
+    ``n_planes=None`` (default) sizes the bucket count from the corpus:
+    one cheap count() job, then enough planes that expected occupancy is
+    ~TARGET_BUCKET_OCCUPANCY -- a fixed small plane count is quadratic-
+    in-expectation and becomes the scale killer on a full corpus. The
+    recall tradeoff (each extra plane halves the chance a true near-dup
+    pair shares a bucket; at cos >= 0.9 a plane splits a pair with
+    p = acos(0.9)/pi ~ 0.14) is the caller's lever: pass an explicit
+    ``n_planes`` to pin it."""
+    if n_planes is None:
+        n_planes = planes_for_corpus(emb.count())
     base = add_lsh_bucket(quantized(emb, vec_col, id_col), n_planes, dim)
     a = base.select(
         F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),

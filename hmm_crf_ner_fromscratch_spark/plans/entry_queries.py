@@ -1368,6 +1368,125 @@ def q_crf_decode_dict(spark, sf_dir):
     ).select("doc_id", "pos", F.col("wt.word").alias("word"), F.col("wt.tag").alias("tag"))
 
 
+TRANSFORMER_K = 4
+TRANSFORMER_N_SEQS = 500
+TRANSFORMER_MIN_LEN = 3
+TRANSFORMER_LEN_MOD = 18
+
+
+def q_transformer_decode(spark, sf_dir):
+    """W6 decode-given-weights as a query: batched float32 Viterbi with
+    start/end transitions over deterministic synthetic emissions. The
+    fixtures are integer-valued (md5-derived, exact in float32), so the
+    DuckDB oracle replays the identical DP in int64 -- every add exact,
+    every tie first-index -- and the decoded tags hash-match. The torch
+    encoder upstream is out of scope (documented in
+    operators/transformer.py); the property suite vs the scalar float32
+    transcription is the deeper numeric gate."""
+    from ..operators.transformer import (
+        decode_transformer_crf,
+        synth_emissions,
+        synth_params,
+    )
+
+    p = synth_params(TRANSFORMER_K, seed=42)
+    df = synth_emissions(
+        spark,
+        TRANSFORMER_N_SEQS,
+        TRANSFORMER_K,
+        seed=42,
+        min_len=TRANSFORMER_MIN_LEN,
+        len_mod=TRANSFORMER_LEN_MOD,
+    )
+    return decode_transformer_crf(df, p).select(
+        "seq_id", F.posexplode("tags_pred").alias("pos", "tag")
+    )
+
+
+def _transformer_decode_sql(
+    K: int = TRANSFORMER_K,
+    n_seqs: int = TRANSFORMER_N_SEQS,
+    seed: int = 42,
+    min_len: int = TRANSFORMER_MIN_LEN,
+    len_mod: int = TRANSFORMER_LEN_MOD,
+) -> str:
+    """SQL mirror of q_transformer_decode: same md5 constructions for
+    lengths/emissions/parameters, Viterbi as a recursive CTE in exact
+    int64 (the float32 Spark DP is exact on these integer values), CASE
+    chains for first-index argmax, per-state paths as lists."""
+    rng = range(K)
+
+    def md5i(key: str) -> str:
+        return f"(('0x' || substring(md5({key}), 1, 15))::BIGINT % 1001 - 500)"
+
+    def s(i, j):
+        return f"((d.dp{i} + m.tr{i}{j}) + e.e{j})"
+
+    def argmax_case(scores, results):
+        whens = []
+        for i in range(len(scores) - 1):
+            cond = " AND ".join(
+                f"{scores[i]} >= {scores[m]}" for m in range(i + 1, len(scores))
+            )
+            whens.append(f"WHEN {cond} THEN {results[i]}")
+        return "CASE " + " ".join(whens) + f" ELSE {results[-1]} END"
+
+    model_cols = ", ".join(
+        [md5i(f"'tr{seed}:{i}:{j}'") + f" AS tr{i}{j}" for i in rng for j in rng]
+        + [md5i(f"'st{seed}:{j}'") + f" AS st{j}" for j in rng]
+        + [md5i(f"'en{seed}:{j}'") + f" AS en{j}" for j in rng]
+    )
+    em_cols = ", ".join(
+        md5i(
+            f"'em{seed}:' || CAST(l.seq_id AS VARCHAR) || ':' || CAST(t.t AS VARCHAR) || ':{j}'"
+        )
+        + f" AS e{j}"
+        for j in rng
+    )
+    base_cols = ", ".join(
+        [f"m.st{j} + e.e{j} AS dp{j}" for j in rng] + [f"[{j}] AS p{j}" for j in rng]
+    )
+    step_dp = ", ".join(
+        "greatest(" + ", ".join(s(i, j) for i in rng) + f") AS dp{j}" for j in rng
+    )
+    step_p = ", ".join(
+        argmax_case([s(i, j) for i in rng], [f"list_append(d.p{i}, {j})" for i in rng])
+        + f" AS p{j}"
+        for j in rng
+    )
+    win_path = argmax_case(
+        [f"dp{j} + en{j}" for j in rng], [f"p{j}" for j in rng]
+    )
+    return f"""
+WITH RECURSIVE
+seqs AS (SELECT unnest(generate_series(0, {n_seqs - 1})) AS seq_id),
+lens AS (
+  SELECT seq_id,
+         CAST(('0x' || substring(md5('len{seed}:' || CAST(seq_id AS VARCHAR)), 1, 15))::BIGINT
+              % {len_mod} + {min_len} AS INT) AS n
+  FROM seqs),
+em AS (
+  SELECT l.seq_id, t.t, {em_cols}
+  FROM lens l, LATERAL unnest(generate_series(0, l.n - 1)) AS t(t)),
+model AS (SELECT {model_cols}),
+dp AS (
+  SELECT e.seq_id, 0 AS t, l.n, {base_cols}
+  FROM em e CROSS JOIN model m JOIN lens l ON l.seq_id = e.seq_id
+  WHERE e.t = 0
+  UNION ALL
+  SELECT d.seq_id, d.t + 1, d.n, {step_dp}, {step_p}
+  FROM dp d
+  JOIN em e ON e.seq_id = d.seq_id AND e.t = d.t + 1
+  CROSS JOIN model m
+  WHERE d.t < d.n - 1),
+win AS (
+  SELECT dp.seq_id, {win_path} AS path
+  FROM dp CROSS JOIN model m WHERE dp.t = dp.n - 1)
+SELECT w.seq_id, CAST(gs.i - 1 AS INT) AS pos, 'T' || CAST(w.path[gs.i] AS VARCHAR) AS tag
+FROM win w, LATERAL unnest(generate_series(1, len(w.path))) AS gs(i)
+"""
+
+
 def q_kg_pipeline(spark, sf_dir):
     """Flagship: the full KG pipeline over documents-as-transcripts.
     Rows-only (Viterbi inside). Returns the aggregated edge table."""
@@ -1470,6 +1589,7 @@ QUERIES = {
     "hourly_event_counts": q_hourly_event_counts,
     "hmm_decode_dict": q_hmm_decode_dict,
     "crf_decode_dict": q_crf_decode_dict,
+    "transformer_decode": q_transformer_decode,
     "kg_pipeline": q_kg_pipeline,
 }
 
@@ -1501,6 +1621,7 @@ ORACLES = {
     "sessionize": SQL_SESSIONIZE,
     "hourly_event_counts": SQL_HOURLY_EVENT_COUNTS,
     "hmm_decode_dict": _hmm_decode_sql(),
+    "transformer_decode": _transformer_decode_sql(),
     # crf_decode_dict, kg_pipeline: rows-only (trained-CRF decode and the
     # fused KG pipeline embed learned state not reproducible in SQL)
 }

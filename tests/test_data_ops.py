@@ -87,6 +87,58 @@ def test_winnowing_overlap_property(spark):
     assert overlap_02 == 0.0
 
 
+def test_cosine_neardup_occupancy_bounded_blocking(spark):
+    """Scale gate for cosine_near_duplicates: on a 10^5-vector corpus the
+    default (adaptive) plane count must keep the LSH candidate-pair count
+    linear-in-n (occupancy-bounded), not n^2/2^planes with a fixed small
+    plane count -- asserted on the actual bucket histogram, not just
+    recall. Planted duplicates (identical vectors share a bucket by
+    construction) must all surface."""
+    from hmm_crf_ner_fromscratch_spark.operators.similarity import (
+        TARGET_BUCKET_OCCUPANCY,
+        add_lsh_bucket,
+        cosine_near_duplicates,
+        planes_for_corpus,
+        quantized,
+    )
+
+    n, planted, off = 100_000, 50, 50_000
+    eff = (
+        F.when(
+            (F.col("id") >= off) & (F.col("id") < off + planted),
+            F.col("id") - off,
+        ).otherwise(F.col("id"))
+    )
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (
+                (F.pmod(F.xxhash64(eff, i, F.lit(7)), F.lit(2001)) - 1000) / 1000.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    p = planes_for_corpus(n)
+    assert 2**p >= n // TARGET_BUCKET_OCCUPANCY
+    hist = add_lsh_bucket(quantized(emb), p).groupBy("bucket").count().collect()
+    assert len(hist) <= 2**p
+    cand_pairs = sum(r["count"] * (r["count"] - 1) // 2 for r in hist)
+    # linear pair budget (occupancy within ~8x of target); a fixed 4-plane
+    # blocking would give ~n^2/32 ~ 3e8 pairs here
+    assert cand_pairs <= 8 * n * TARGET_BUCKET_OCCUPANCY, cand_pairs
+    assert cand_pairs < (n * n) // 64
+
+    nd = cosine_near_duplicates(emb, threshold=0.9)
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in nd.where(
+            (F.col("vec_b") >= off) & (F.col("vec_b") < off + planted)
+        ).collect()
+    }
+    for i in range(planted):
+        assert (i, off + i) in got, f"planted pair ({i},{off + i}) missed"
+
+
 def test_lsh_topk_vs_brute_force(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     qids = list(range(8))
