@@ -120,3 +120,35 @@ def write_conll_local(df: DataFrame, out_path: str, tag_col: str = "tags") -> No
             for word, tag in zip(row.tokens, row.tags):
                 f.write(f"{word} {tag}\n")
             f.write("\n")
+
+
+def write_conll_local_transformer(
+    df: DataFrame,
+    out_path: str,
+    tag_col: str = "tags",
+    pad_tag: str = "<PAD>",
+    max_seq_len: int = 512,
+) -> None:
+    """Transformer-variant CoNLL writer (``transformer_ner.py:607-631``):
+    ``<PAD>`` predictions emit as ``O``; tokens beyond ``max_seq_len`` (or
+    beyond the prediction array) emit as ``O``; blank lines go BETWEEN
+    sentences only -- no trailing blank line after the last one. Same
+    test-only single-file contract as :func:`write_conll_local`."""
+    rows = (
+        df.select("sent_id", "tokens", F.col(tag_col).alias("tags"))
+        .orderBy("sent_id")
+        .collect()
+    )
+    with open(out_path, "w", encoding="utf-8") as f:
+        for i, row in enumerate(rows):
+            preds = row.tags or []
+            for j, word in enumerate(row.tokens):
+                if j < len(preds) and j < max_seq_len:
+                    tag = preds[j]
+                    if tag == pad_tag:
+                        tag = "O"
+                else:
+                    tag = "O"
+                f.write(f"{word} {tag}\n")
+            if i < len(rows) - 1:
+                f.write("\n")

@@ -38,3 +38,29 @@ def test_read_conll_consecutive_blank_lines(spark, tmp_path):
     rows = sorted(read_conll(spark, str(p)).collect(), key=lambda r: r.sent_id)
     assert [list(r.tokens) for r in rows] == [["a"], ["b", "c"]]
     assert [r.sent_id for r in rows] == [0, 1]
+
+
+def test_write_conll_local_transformer(spark, tmp_path):
+    """transformer_ner.py:607-631 writer semantics: <PAD> emits as O,
+    tokens beyond the prediction range emit as O, and the blank line
+    separates sentences only (no trailing blank)."""
+    from hmm_crf_ner_fromscratch_spark.sources.conll import (
+        write_conll_local_transformer,
+    )
+
+    rows = [
+        (0, ["a", "b", "c"], ["B-X", "<PAD>", "I-X"]),
+        (1, ["d", "e"], ["B-Y"]),  # prediction shorter than sentence
+        (2, ["f"], ["O"]),
+    ]
+    df = spark.createDataFrame(
+        rows, "sent_id long, tokens array<string>, tags array<string>"
+    )
+    out = str(tmp_path / "t.txt")
+    write_conll_local_transformer(df, out)
+    want = "a B-X\nb O\nc I-X\n\nd B-Y\ne O\n\nf O\n"
+    assert open(out, encoding="utf-8").read() == want
+    # max_seq_len truncation: everything past the cap is O
+    write_conll_local_transformer(df, out, max_seq_len=1)
+    want2 = "a B-X\nb O\nc O\n\nd B-Y\ne O\n\nf O\n"
+    assert open(out, encoding="utf-8").read() == want2
