@@ -4,11 +4,15 @@
 Viterbi decode + mention assembly + relation templating + entity linking +
 connected components + edge aggregation) on /root/testdata/sf0.001.
 
-``queries()`` / ``oracle_sql()`` expose every SQL-expressible operator of
-SURVEY.md SS2 with a DuckDB oracle (validated locally with
-tools/validate_oracles.py); learned/iterative operators (HMM Viterbi, the
-full KG pipeline) are rows-only -- their correctness gate is the bit-match
-test suite against the reference implementation (tests/test_hmm_parity.py).
+``queries()`` / ``oracle_sql()`` expose every SURVEY.md SS2 operator with
+a DuckDB oracle (validated locally with tools/validate_oracles.py) --
+including the flagship KG pipeline and the HMM/CRF/transformer decodes,
+whose oracles replay the model build and Viterbi DP as recursive CTEs
+with pinned float semantics. The single rows-only query is
+``crf_decode_dict`` (its adagrad training trajectory is not
+SQL-expressible; CRF decode itself is oracle-verified via
+``crf_decode_fixed``). The deepest gate remains the bit-match test suite
+against the reference implementation (tests/test_hmm_parity.py).
 """
 
 from __future__ import annotations

@@ -25,6 +25,8 @@ from pyspark.sql import functions as F  # noqa: E402
 BENCH_QUERIES = [
     "kg_pipeline",
     "hmm_decode_dict",
+    "crf_decode_fixed",
+    "transformer_decode",
     "dedup_minhash",
     "sim_topk",
     "dict_mentions",

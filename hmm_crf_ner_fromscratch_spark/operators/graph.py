@@ -8,10 +8,13 @@ edges: ``src long, pred string, dst long, weight double,
 Canonicalization: each (entity_type, surface) candidate maps to its
 connected component (K7); the canonical surface is the most-mentioned
 variant in the component (ties broken lexicographically -- deterministic).
-``node_id`` is ``xxhash64(entity_type, canonical surface)``: stable across
-runs and cluster sizes (no global ordering pass at 10^9-node scale);
-64-bit collision probability is negligible below ~10^8 nodes and the
-builder verifies uniqueness with a cheap count-distinct assertion.
+``node_id`` is an md5-derived 60-bit integer of (entity_type, canonical
+surface): stable across runs and cluster sizes (no global ordering pass
+at 10^9-node scale) AND engine-portable -- any system can recompute it as
+``('0x' || substring(md5(type || '|' || canonical), 1, 15))::BIGINT``,
+which is how the DuckDB oracle checks the edge table. Collision
+probability is negligible below ~10^8 nodes and the builder verifies
+uniqueness with a cheap count-distinct assertion.
 
 Provenance arrays are capped (``provenance_cap``) so a frequent triple
 cannot blow up a single row -- the full evidence remains derivable from
@@ -23,6 +26,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .components import connected_components
+
+
+def stable_node_id(type_col, name_col):
+    """Engine-portable stable node id: 60-bit integer from md5 of
+    ``type|name`` (conv/substring keeps 15 hex digits -> always positive,
+    fits BIGINT). The '|' separator is safe for ids because collisions --
+    from separator ambiguity or from hashing -- are caught by the
+    ``check_id_collisions`` count-distinct assertion."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(type_col, F.lit("|"), name_col).cast("binary")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
 from .linking import candidate_entities, link_edges
 
 
@@ -73,7 +91,7 @@ def build_graph(
             F.array_sort(F.collect_set("surface")).alias("aliases"),
             F.sum("n_mentions").alias("n_mentions"),
         )
-        .withColumn("node_id", F.xxhash64("entity_type", "canonical"))
+        .withColumn("node_id", stable_node_id(F.col("entity_type"), F.col("canonical")))
         .select("node_id", "canonical", "entity_type", "aliases", "n_mentions")
     )
 
@@ -88,7 +106,7 @@ def build_graph(
     resolve = enriched.select(
         "entity_type",
         "surface",
-        F.xxhash64(F.col("entity_type"), F.col("canonical")).alias("node_id"),
+        stable_node_id(F.col("entity_type"), F.col("canonical")).alias("node_id"),
     )
     r_subj = resolve.select(
         F.col("entity_type").alias("subj_type"),
@@ -107,11 +125,11 @@ def build_graph(
         .join(r_obj, ["obj_type", "obj"], "left")
         .withColumn(
             "src",
-            F.coalesce("src", F.xxhash64(F.col("subj_type"), F.col("subj"))),
+            F.coalesce("src", stable_node_id(F.col("subj_type"), F.col("subj"))),
         )
         .withColumn(
             "dst",
-            F.coalesce("dst", F.xxhash64(F.col("obj_type"), F.col("obj"))),
+            F.coalesce("dst", stable_node_id(F.col("obj_type"), F.col("obj"))),
         )
     )
     edges = (

@@ -1189,6 +1189,61 @@ def q_hmm_decode_dict(spark, sf_dir):
     ).select("doc_id", "pos", F.col("wt.word").alias("word"), F.col("wt.tag").alias("tag"))
 
 
+def _sql_argmax_case(scores, results):
+    """First-index-wins argmax as a CASE chain (np.argmax semantics)."""
+    whens = []
+    for i in range(len(scores) - 1):
+        cond = " AND ".join(
+            f"{scores[i]} >= {scores[m]}" for m in range(i + 1, len(scores))
+        )
+        whens.append(f"WHEN {cond} THEN {results[i]}")
+    return "CASE " + " ".join(whens) + f" ELSE {results[-1]} END"
+
+
+def _viterbi_cte_parts(K: int) -> dict:
+    """Shared SQL fragments for a K-state recursive-CTE Viterbi whose
+    state row carries dp0..dp{K-1} and per-state best-path lists p0..;
+    expects a per-(key, t) emissions row aliased ``e`` with e0.. and a
+    model row aliased ``m`` with pi0.. / a{i}{j}. Float order matches
+    functions/viterbi.py: (dp_i + a_ij) + e_j left-associated."""
+    rng = range(K)
+
+    def s(i, j):
+        return f"((d.dp{i} + m.a{i}{j}) + e.e{j})"
+
+    return {
+        "em_pivot": ", ".join(
+            f"max(CASE WHEN idx = {j} THEN e END) AS e{j}" for j in rng
+        ),
+        "pi_pivot": ", ".join(
+            f"max(CASE WHEN idx = {j} THEN pi END) AS pi{j}" for j in rng
+        ),
+        "a_pivot": ", ".join(
+            f"max(CASE WHEN i = {i} AND j = {j} THEN a END) AS a{i}{j}"
+            for i in rng
+            for j in rng
+        ),
+        "base_cols": ", ".join(
+            [f"m.pi{j} + e.e{j} AS dp{j}" for j in rng]
+            + [f"[{j}] AS p{j}" for j in rng]
+        ),
+        "step_dp": ", ".join(
+            "greatest(" + ", ".join(s(i, j) for i in rng) + f") AS dp{j}"
+            for j in rng
+        ),
+        "step_p": ", ".join(
+            _sql_argmax_case(
+                [s(i, j) for i in rng], [f"list_append(d.p{i}, {j})" for i in rng]
+            )
+            + f" AS p{j}"
+            for j in rng
+        ),
+        "win_path": _sql_argmax_case(
+            [f"dp{j}" for j in rng], [f"p{j}" for j in rng]
+        ),
+    }
+
+
 def _hmm_decode_sql() -> str:
     """SQL mirror of q_hmm_decode_dict: HMM training (operators/hmm.py
     train_hmm, reference formulas hmm_ner.py:57-109 incl. quirks Q1-Q3)
@@ -1209,46 +1264,14 @@ def _hmm_decode_sql() -> str:
         f"CASE WHEN word IN ({_sql_list(OP_WORDS)}) THEN 'B-OP' "
         f"WHEN word IN ({_sql_list(OBJ_WORDS)}) THEN 'B-OBJ' ELSE 'O' END"
     )
-    rng = range(K)
-
-    def s(i, j):
-        return f"((d.dp{i} + m.a{i}{j}) + e.e{j})"
-
-    def argmax_case(scores, results):
-        """First-index-wins argmax as a CASE chain (np.argmax semantics)."""
-        whens = []
-        for i in range(len(scores) - 1):
-            cond = " AND ".join(
-                f"{scores[i]} >= {scores[m]}" for m in range(i + 1, len(scores))
-            )
-            whens.append(f"WHEN {cond} THEN {results[i]}")
-        return "CASE " + " ".join(whens) + f" ELSE {results[-1]} END"
-
-    em_pivot = ", ".join(
-        f"max(CASE WHEN idx = {j} THEN e END) AS e{j}" for j in rng
-    )
-    pi_pivot = ", ".join(
-        f"max(CASE WHEN idx = {j} THEN pi END) AS pi{j}" for j in rng
-    )
-    a_pivot = ", ".join(
-        f"max(CASE WHEN i = {i} AND j = {j} THEN a END) AS a{i}{j}"
-        for i in rng
-        for j in rng
-    )
-    base_cols = ", ".join(
-        [f"m.pi{j} + e.e{j} AS dp{j}" for j in rng] + [f"[{j}] AS p{j}" for j in rng]
-    )
-    step_dp = ", ".join(
-        "greatest(" + ", ".join(s(i, j) for i in rng) + f") AS dp{j}" for j in rng
-    )
-    step_p = ", ".join(
-        argmax_case(
-            [s(i, j) for i in rng], [f"list_append(d.p{i}, {j})" for i in rng]
-        )
-        + f" AS p{j}"
-        for j in rng
-    )
-    win_path = argmax_case([f"dp{j}" for j in rng], [f"p{j}" for j in rng])
+    parts = _viterbi_cte_parts(K)
+    em_pivot = parts["em_pivot"]
+    pi_pivot = parts["pi_pivot"]
+    a_pivot = parts["a_pivot"]
+    base_cols = parts["base_cols"]
+    step_dp = parts["step_dp"]
+    step_p = parts["step_p"]
+    win_path = parts["win_path"]
 
     return f"""
 WITH RECURSIVE
@@ -1366,6 +1389,259 @@ def q_crf_decode_dict(spark, sf_dir):
             F.arrays_zip(F.col("tokens").alias("word"), F.col("tags_pred").alias("tag"))
         ).alias("pos", "wt"),
     ).select("doc_id", "pos", F.col("wt.word").alias("word"), F.col("wt.tag").alias("tag"))
+
+
+def q_crf_decode_fixed(spark, sf_dir):
+    """W2/W3/F1/F2 with driver-verifiable correctness: build the CRF
+    feature registry from the train split (F1 first-encounter scan + F2
+    pure-B cross product), set every weight to an md5-derived INTEGER in
+    [-500, 500] keyed by the feature string (exact in float32 -> the
+    whole decode is exact integer arithmetic), then run the vectorized
+    float32 Viterbi over the held-out split. The DuckDB oracle rebuilds
+    registry membership from the same gold paths, derives the same
+    weights from the same md5 formula, and replays the DP in int64 --
+    templates, BOS/EOS padding, START/STOP handling, and first-index
+    tie-breaks all verified end to end. (crf_decode_dict keeps exercising
+    the trained-weights path; training itself is not SQL-expressible.)"""
+    import numpy as np
+
+    from ..operators.crf import build_registry, decode_crf
+    from ..operators.transformer import _md5_int
+
+    tagged = _toks(spark, sf_dir).where(F.size("toks") <= 40).select(
+        "doc_id",
+        F.col("doc_id").alias("sent_id"),
+        F.col("toks").alias("tokens"),
+        F.transform(
+            "toks",
+            lambda w: F.when(w.isin(OP_WORDS), "B-OP")
+            .when(w.isin(OBJ_WORDS), "B-OBJ")
+            .otherwise("O"),
+        ).alias("tags"),
+    )
+    train = tagged.where(F.col("doc_id") % 37 == 1)
+    registry = build_registry(train)
+    w = np.zeros(registry.n_features, dtype=np.float32)
+    for key, fid in registry.feature_index.items():
+        w[fid] = _md5_int(f"crfw42:{key}")
+    registry.weights = w
+    test = tagged.where(F.col("doc_id") % 37 == 0).select("doc_id", "tokens")
+    decoded = decode_crf(test, registry)
+    return decoded.select(
+        "doc_id",
+        F.posexplode(
+            F.arrays_zip(F.col("tokens").alias("word"), F.col("tags_pred").alias("tag"))
+        ).alias("pos", "wt"),
+    ).select("doc_id", "pos", F.col("wt.word").alias("word"), F.col("wt.tag").alias("tag"))
+
+
+def _crf_decode_fixed_sql() -> str:
+    """SQL mirror of q_crf_decode_fixed. Rebuilds: (1) the gold-path
+    feature registry over the train split -- per-position BOS/EOS-padded
+    observation strings for all 21 templates, prev=START at pos 0, a
+    STOP row at pos=n (operators/crf.py _context_frame); (2) md5 integer
+    weights keyed by feature string; (3) the decode DP as a recursive
+    CTE: dp0 = U(0) + B_obs(START->j) + B_pure(START->j), step score =
+    dp_i + B_obs(t,i,j) + B_pure(i,j) + U(t,j), termination adds the
+    STOP transition vector. Integer arithmetic end to end, so float
+    association order cannot matter; argmaxes are first-index CASE
+    chains over the first-occurrence tag order. The U->STOP scalar at
+    termination shifts every state equally and is omitted (argmax
+    invariant; dp values are never emitted)."""
+    from ..functions.crf import B_TEMPLATES, U_TEMPLATES
+
+    K = 3
+    rng = range(K)
+    OFFCOL = {-2: "wm2", -1: "wm1", 0: "w0", 1: "wp1", 2: "wp2"}
+    tag_case = (
+        f"CASE WHEN {{w}} IN ({_sql_list(OP_WORDS)}) THEN 'B-OP' "
+        f"WHEN {{w}} IN ({_sql_list(OBJ_WORDS)}) THEN 'B-OBJ' ELSE 'O' END"
+    )
+
+    def obs_expr(offs):
+        cols = [OFFCOL[o] for o in offs]
+        return " || '/' || ".join(cols) if len(cols) > 1 else cols[0]
+
+    def ctx_cols():
+        parts = []
+        for off, col in OFFCOL.items():
+            parts.append(
+                f"CASE WHEN pos + {off} < 0 THEN 'BOS' "
+                f"WHEN pos + {off} >= n THEN 'EOS' "
+                f"ELSE toks[pos + {off} + 1] END AS {col}"
+            )
+        return ", ".join(parts)
+
+    def md5w(key_expr):
+        return f"(('0x' || substring(md5('crfw42:' || {key_expr}), 1, 15))::BIGINT % 1001 - 500)"
+
+    u_key_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, pos, n, '{p}:' || {obs_expr(offs)} AS kbase FROM tctx"
+        for p, offs in U_TEMPLATES
+    )
+    b_key_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, pos, n, '{p}:' || {obs_expr(offs)} AS kbase FROM tctx"
+        for p, offs in B_TEMPLATES
+    )
+    su_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, pos, n, '{p}:' || {obs_expr(offs)} AS kbase FROM sctx"
+        for p, offs in U_TEMPLATES
+    )
+    sb_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, pos, n, '{p}:' || {obs_expr(offs)} AS kbase FROM sctx"
+        for p, offs in B_TEMPLATES
+    )
+    u_pivot = ", ".join(f"max(CASE WHEN j = {j} THEN u END) AS u{j}" for j in rng)
+    bo_pivot = ", ".join(
+        f"coalesce(max(CASE WHEN i = {i} AND j = {j} THEN bo END), 0) AS bo{i}{j}"
+        for i in rng
+        for j in rng
+    )
+    bos_pivot = ", ".join(
+        f"max(CASE WHEN j = {j} THEN b END) AS bs{j}" for j in rng
+    )
+    boe_pivot = ", ".join(
+        f"max(CASE WHEN i = {i} THEN b END) AS be{i}" for i in rng
+    )
+    bp_pivot = ", ".join(
+        f"max(CASE WHEN i = {i} AND j = {j} THEN wv END) AS bp{i}{j}"
+        for i in rng
+        for j in rng
+    )
+    bps_pivot = ", ".join(f"max(CASE WHEN j = {j} THEN wv END) AS bps{j}" for j in rng)
+    bpe_pivot = ", ".join(f"max(CASE WHEN i = {i} THEN wv END) AS bpe{i}" for i in rng)
+
+    def s(i, j):
+        return f"(((d.dp{i} + st.bo{i}{j}) + m.bp{i}{j}) + st.u{j})"
+
+    def argmax_case(scores, results):
+        whens = []
+        for i in range(len(scores) - 1):
+            cond = " AND ".join(
+                f"{scores[i]} >= {scores[m]}" for m in range(i + 1, len(scores))
+            )
+            whens.append(f"WHEN {cond} THEN {results[i]}")
+        return "CASE " + " ".join(whens) + f" ELSE {results[-1]} END"
+
+    base_cols = ", ".join(
+        [f"(b0.u{j} + sv.bs{j}) + m.bps{j} AS dp{j}" for j in rng]
+        + [f"[{j}] AS p{j}" for j in rng]
+    )
+    step_dp = ", ".join(
+        "greatest(" + ", ".join(s(i, j) for i in rng) + f") AS dp{j}" for j in rng
+    )
+    step_p = ", ".join(
+        argmax_case([s(i, j) for i in rng], [f"list_append(d.p{i}, {j})" for i in rng])
+        + f" AS p{j}"
+        for j in rng
+    )
+    win_path = argmax_case(
+        [f"(dp{j} + ev.be{j}) + m.bpe{j}" for j in rng], [f"p{j}" for j in rng]
+    )
+
+    return f"""
+WITH RECURSIVE
+trn AS (
+  SELECT doc_id, toks, len(toks) AS n
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) <= 40 AND doc_id % 37 = 1),
+tctx AS (
+  SELECT doc_id, pos, n, {ctx_cols()},
+         CASE WHEN pos = 0 THEN '<START>'
+              ELSE {tag_case.format(w="toks[pos]")} END AS prev,
+         CASE WHEN pos = n THEN '<STOP>'
+              ELSE {tag_case.format(w="toks[pos + 1]")} END AS cur
+  FROM (SELECT doc_id, toks, n, unnest(generate_series(0, n)) AS pos FROM trn)),
+tagidx AS (
+  SELECT tag, CAST(row_number() OVER (ORDER BY min(doc_id * 1000000 + pos)) - 1 AS INT) AS idx
+  FROM (SELECT doc_id, pos, cur AS tag FROM tctx WHERE pos < n)
+  GROUP BY tag),
+regk AS (
+  SELECT DISTINCT kbase || '_' || cur AS key
+  FROM ({u_key_union}) u JOIN tctx USING (doc_id, pos, n)
+  UNION
+  SELECT DISTINCT kbase || '_' || prev || '_' || cur AS key
+  FROM ({b_key_union}) b JOIN tctx USING (doc_id, pos, n)),
+wreg AS (SELECT key, {md5w('key')} AS w FROM regk),
+bpl AS (
+  SELECT ti.idx AS i, tj.idx AS j, {md5w("'B:' || ti.tag || '_' || tj.tag")} AS wv
+  FROM tagidx ti CROSS JOIN tagidx tj),
+bpsl AS (
+  SELECT tj.idx AS j, {md5w("'B:<START>_' || tj.tag")} AS wv FROM tagidx tj),
+bpel AS (
+  SELECT ti.idx AS i, {md5w("'B:' || ti.tag || '_<STOP>'")} AS wv FROM tagidx ti),
+model AS (
+  SELECT * FROM (SELECT {bp_pivot} FROM bpl)
+  CROSS JOIN (SELECT {bps_pivot} FROM bpsl)
+  CROSS JOIN (SELECT {bpe_pivot} FROM bpel)),
+tst AS (
+  SELECT doc_id, toks, len(toks) AS n
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) <= 40 AND doc_id % 37 = 0),
+sctx AS (
+  SELECT doc_id, pos, n, {ctx_cols()}
+  FROM (SELECT doc_id, toks, n, unnest(generate_series(0, n)) AS pos FROM tst)),
+uterm AS (
+  SELECT u.doc_id, u.pos, tj.idx AS j, coalesce(sum(w.w), 0) AS u
+  FROM ({su_union}) u
+  CROSS JOIN tagidx tj
+  LEFT JOIN wreg w ON w.key = u.kbase || '_' || tj.tag
+  WHERE u.pos < u.n
+  GROUP BY 1, 2, 3),
+upiv AS (SELECT doc_id, pos, {u_pivot} FROM uterm GROUP BY doc_id, pos),
+boterm AS (
+  SELECT b.doc_id, b.pos, ti.idx AS i, tj.idx AS j, coalesce(sum(w.w), 0) AS bo
+  FROM ({sb_union}) b
+  CROSS JOIN tagidx ti CROSS JOIN tagidx tj
+  LEFT JOIN wreg w ON w.key = b.kbase || '_' || ti.tag || '_' || tj.tag
+  WHERE b.pos >= 1 AND b.pos < b.n
+  GROUP BY 1, 2, 3, 4),
+bopiv AS (SELECT doc_id, pos, {bo_pivot} FROM boterm GROUP BY doc_id, pos),
+bostart AS (
+  SELECT b.doc_id, tj.idx AS j, coalesce(sum(w.w), 0) AS b
+  FROM ({sb_union}) b
+  CROSS JOIN tagidx tj
+  LEFT JOIN wreg w ON w.key = b.kbase || '_<START>_' || tj.tag
+  WHERE b.pos = 0
+  GROUP BY 1, 2),
+bospiv AS (SELECT doc_id, {bos_pivot} FROM bostart GROUP BY doc_id),
+bostop AS (
+  SELECT b.doc_id, ti.idx AS i, coalesce(sum(w.w), 0) AS b
+  FROM ({sb_union}) b
+  CROSS JOIN tagidx ti
+  LEFT JOIN wreg w ON w.key = b.kbase || '_' || ti.tag || '_<STOP>'
+  WHERE b.pos = b.n
+  GROUP BY 1, 2),
+boepiv AS (SELECT doc_id, {boe_pivot} FROM bostop GROUP BY doc_id),
+steps AS (
+  SELECT u.doc_id, u.pos, u.u0, u.u1, u.u2,
+         b.bo00, b.bo01, b.bo02, b.bo10, b.bo11, b.bo12, b.bo20, b.bo21, b.bo22
+  FROM upiv u JOIN bopiv b USING (doc_id, pos)),
+dp AS (
+  SELECT t.doc_id, 0 AS t, t.n, {base_cols}
+  FROM tst t
+  JOIN upiv b0 ON b0.doc_id = t.doc_id AND b0.pos = 0
+  JOIN bospiv sv ON sv.doc_id = t.doc_id
+  CROSS JOIN model m
+  UNION ALL
+  SELECT d.doc_id, d.t + 1, d.n, {step_dp}, {step_p}
+  FROM dp d
+  JOIN steps st ON st.doc_id = d.doc_id AND st.pos = d.t + 1
+  CROSS JOIN model m
+  WHERE d.t < d.n - 1),
+win AS (
+  SELECT dp.doc_id, {win_path} AS path
+  FROM dp
+  JOIN boepiv ev ON ev.doc_id = dp.doc_id
+  CROSS JOIN model m
+  WHERE dp.t = dp.n - 1)
+SELECT w.doc_id, CAST(gs.i - 1 AS INT) AS pos, t.toks[gs.i] AS word,
+       ti.tag AS tag
+FROM win w
+JOIN tst t ON t.doc_id = w.doc_id,
+LATERAL unnest(generate_series(1, len(w.path))) AS gs(i)
+JOIN tagidx ti ON ti.idx = w.path[gs.i]
+"""
 
 
 TRANSFORMER_K = 4
@@ -1556,6 +1832,135 @@ def q_kg_pipeline(spark, sf_dir):
     return edges.select("src", "pred", "dst", "weight")
 
 
+def _kg_pipeline_sql() -> str:
+    """SQL mirror of the FULL flagship pipeline: HMM training over the
+    dictionary-tagged train turns (first-occurrence tag order keyed by
+    (conv_id=source, turn_idx), exact reference smoothing incl. quirks),
+    recursive-CTE Viterbi over the held-out turns, single-token mention
+    assembly (the B-OP/B-OBJ dictionary tagging yields length-1 BIO
+    spans), adjacency relation templating, and edge aggregation keyed by
+    the engine-portable md5 node ids of operators/graph.stable_node_id.
+
+    Canonicalization note: on this corpus no candidate pair clears the
+    TF-IDF link threshold (asserted in tests/test_kg.py::
+    test_kg_dictionary_components_are_singletons), so every connected
+    component is a singleton and canonical == surface; the oracle
+    therefore resolves node ids directly from surfaces. If the corpus or
+    threshold changed such that links formed, the Spark side would merge
+    nodes and this oracle would (correctly) flag the divergence."""
+    K = 3
+    parts = _viterbi_cte_parts(K)
+    tag_case = (
+        f"CASE WHEN word IN ({_sql_list(OP_WORDS)}) THEN 'B-OP' "
+        f"WHEN word IN ({_sql_list(OBJ_WORDS)}) THEN 'B-OBJ' ELSE 'O' END"
+    )
+    node_id = (
+        "('0x' || substring(md5({t} || '|' || {s}), 1, 15))::BIGINT"
+    )
+    return f"""
+WITH RECURSIVE
+turns AS (
+  SELECT source AS conv_id, CAST(doc_id AS INT) AS turn_idx, doc_id,
+         string_split(text, ' ') AS toks
+  FROM documents),
+train AS (SELECT * FROM turns WHERE turn_idx % 5 <> 0),
+ttok AS (
+  SELECT conv_id, turn_idx, i - 1 AS pos, word, {tag_case} AS tag
+  FROM (SELECT conv_id, turn_idx, unnest(generate_series(1, len(toks))) AS i, toks FROM train),
+       LATERAL (SELECT toks[i] AS word)),
+-- first-occurrence tag order over ((conv_id, turn_idx), pos) -- the
+-- train_hmm sent key here is struct(conv_id, turn_idx)
+firsts AS (
+  SELECT tag, conv_id, turn_idx, pos
+  FROM (SELECT tag, conv_id, turn_idx, pos,
+               row_number() OVER (PARTITION BY tag ORDER BY conv_id, turn_idx, pos) AS r
+        FROM ttok) WHERE r = 1),
+tagidx AS (
+  SELECT tag, CAST(row_number() OVER (ORDER BY conv_id, turn_idx, pos) - 1 AS INT) AS idx
+  FROM firsts),
+tagcnt AS (SELECT tag, count(*) AS cnt FROM ttok GROUP BY tag),
+vsize AS (SELECT count(DISTINCT word) AS v FROM ttok),
+nsent AS (SELECT count(*) AS n FROM train WHERE len(toks) > 0),
+icnt AS (
+  SELECT {tag_case.replace("word", "toks[1]")} AS tag, count(*) AS cnt
+  FROM train WHERE len(toks) > 0 GROUP BY 1),
+tcnt AS (
+  SELECT a.tag AS prev, b.tag AS curr, count(*) AS cnt
+  FROM ttok a JOIN ttok b
+    ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx AND b.pos = a.pos + 1
+  GROUP BY 1, 2),
+rowtot AS (SELECT prev, sum(cnt) AS total FROM tcnt GROUP BY prev),
+ecnt AS (SELECT tag, word, count(*) AS cnt FROM ttok GROUP BY 1, 2),
+pil AS (
+  SELECT ti.idx,
+         CASE WHEN ic.cnt IS NOT NULL
+              THEN ln((ic.cnt + 1e-10) / (ns.n + {K} * 1e-10))
+              ELSE 0.0 END AS pi
+  FROM tagidx ti LEFT JOIN icnt ic ON ic.tag = ti.tag CROSS JOIN nsent ns),
+al AS (
+  SELECT ti.idx AS i, tj.idx AS j,
+         CASE WHEN rt.total IS NULL THEN 0.0
+              WHEN tc.cnt IS NOT NULL
+                   AND ln(CAST(tc.cnt + 1 AS DOUBLE) / (rt.total + {K})) <> 0.0
+              THEN ln(CAST(tc.cnt + 1 AS DOUBLE) / (rt.total + {K}))
+              ELSE ln(CAST(1 AS DOUBLE) / (rt.total + {K})) END AS a
+  FROM tagidx ti CROSS JOIN tagidx tj
+  LEFT JOIN rowtot rt ON rt.prev = ti.tag
+  LEFT JOIN tcnt tc ON tc.prev = ti.tag AND tc.curr = tj.tag),
+mpi AS (SELECT {parts['pi_pivot']} FROM pil),
+ma AS (SELECT {parts['a_pivot']} FROM al),
+model AS (SELECT * FROM mpi CROSS JOIN ma),
+test AS (SELECT * FROM turns WHERE turn_idx % 5 = 0),
+doclen AS (SELECT doc_id, len(toks) AS n FROM test),
+ttest AS (
+  SELECT doc_id, conv_id, turn_idx, i AS t, toks[i] AS word
+  FROM (SELECT doc_id, conv_id, turn_idx, unnest(generate_series(1, len(toks))) AS i, toks FROM test)),
+eml AS (
+  SELECT tt.doc_id, tt.t, ti.idx,
+         ln((coalesce(ec.cnt, 0) + CAST(1 AS DOUBLE)) / (tc.cnt + vs.v)) AS e
+  FROM ttest tt CROSS JOIN tagidx ti
+  JOIN tagcnt tc ON tc.tag = ti.tag
+  CROSS JOIN vsize vs
+  LEFT JOIN ecnt ec ON ec.word = tt.word AND ec.tag = ti.tag),
+em AS (SELECT doc_id, t, {parts['em_pivot']} FROM eml GROUP BY doc_id, t),
+dp AS (
+  SELECT e.doc_id, 1 AS t, dl.n, {parts['base_cols']}
+  FROM em e CROSS JOIN model m JOIN doclen dl ON dl.doc_id = e.doc_id
+  WHERE e.t = 1
+  UNION ALL
+  SELECT d.doc_id, d.t + 1, d.n, {parts['step_dp']}, {parts['step_p']}
+  FROM dp d
+  JOIN em e ON e.doc_id = d.doc_id AND e.t = d.t + 1
+  CROSS JOIN model m
+  WHERE d.t < d.n),
+win AS (SELECT doc_id, {parts['win_path']} AS path FROM dp WHERE t = n),
+decoded AS (
+  SELECT w.doc_id, gs.i - 1 AS pos, w.path[gs.i] AS tidx
+  FROM win w, LATERAL unnest(generate_series(1, len(w.path))) AS gs(i)),
+men AS (
+  SELECT tt.conv_id, tt.turn_idx, d.pos AS span_start, d.pos + 1 AS span_end,
+         substring(ti.tag, 3) AS entity_type, tt.word AS surface
+  FROM decoded d
+  JOIN ttest tt ON tt.doc_id = d.doc_id AND tt.t = d.pos + 1
+  JOIN tagidx ti ON ti.idx = d.tidx
+  WHERE ti.tag <> 'O'),
+tri AS (
+  SELECT a.entity_type AS subj_type, a.surface AS subj,
+         CASE WHEN a.entity_type = 'OP' AND b.entity_type = 'OBJ' THEN 'operates_on'
+              WHEN a.entity_type = 'OBJ' AND b.entity_type = 'OP' THEN 'feeds'
+              ELSE 'adjacent_to' END AS pred,
+         b.entity_type AS obj_type, b.surface AS obj
+  FROM men a JOIN men b
+    ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx
+   AND b.span_start = a.span_end)
+SELECT {node_id.format(t="subj_type", s="subj")} AS src,
+       pred,
+       {node_id.format(t="obj_type", s="obj")} AS dst,
+       CAST(count(*) AS DOUBLE) AS weight
+FROM tri GROUP BY 1, 2, 3
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1589,6 +1994,7 @@ QUERIES = {
     "hourly_event_counts": q_hourly_event_counts,
     "hmm_decode_dict": q_hmm_decode_dict,
     "crf_decode_dict": q_crf_decode_dict,
+    "crf_decode_fixed": q_crf_decode_fixed,
     "transformer_decode": q_transformer_decode,
     "kg_pipeline": q_kg_pipeline,
 }
@@ -1621,7 +2027,10 @@ ORACLES = {
     "sessionize": SQL_SESSIONIZE,
     "hourly_event_counts": SQL_HOURLY_EVENT_COUNTS,
     "hmm_decode_dict": _hmm_decode_sql(),
+    "crf_decode_fixed": _crf_decode_fixed_sql(),
     "transformer_decode": _transformer_decode_sql(),
-    # crf_decode_dict, kg_pipeline: rows-only (trained-CRF decode and the
-    # fused KG pipeline embed learned state not reproducible in SQL)
+    "kg_pipeline": _kg_pipeline_sql(),
+    # crf_decode_dict: rows-only -- its adagrad-trained weights embed a
+    # training trajectory not reproducible in SQL; decode itself is
+    # oracle-verified via crf_decode_fixed
 }

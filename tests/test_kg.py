@@ -257,3 +257,29 @@ def test_e2e_triple_pr_vs_reference(spark, english_golden):
     recall = tp / len(ref) if ref else 0.0
     assert precision >= 0.95 and recall >= 0.95, (precision, recall, len(got), len(ref))
     assert len(ref) > 1000
+
+
+def test_kg_dictionary_components_are_singletons(spark):
+    """Guard for the kg_pipeline DuckDB oracle: it resolves node ids
+    directly from surfaces, which is only valid while NO dictionary
+    surface pair clears the TF-IDF link threshold (i.e. every connected
+    component is a singleton and canonical == surface). If linking
+    behavior or the dictionary ever changes, this fails before the
+    driver-side hash mismatch would."""
+    from hmm_crf_ner_fromscratch_spark.operators.linking import (
+        candidate_entities,
+        link_edges,
+    )
+    from hmm_crf_ner_fromscratch_spark.plans.entry_queries import (
+        OBJ_WORDS,
+        OP_WORDS,
+    )
+
+    surf = spark.createDataFrame(
+        [("OP", w) for w in OP_WORDS] + [("OBJ", w) for w in OBJ_WORDS],
+        "entity_type string, surface string",
+    )
+    links = link_edges(candidate_entities(surf), threshold=0.72).collect()
+    assert links == [], [
+        (r.src_key, r.dst_key, r.score) for r in links
+    ]
