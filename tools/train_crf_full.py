@@ -5,9 +5,14 @@ checkpointing the model and logging validation token accuracy + entity
 micro-F1 (check.py semantics: labels exclude O) after each epoch.
 
 Usage: python tools/train_crf_full.py [epochs] [lr] [out_dir] [l2] [mode]
+                                      [avg_from]
 ``mode``: "reference" (default, the 21 reference templates) or "extended"
 (adds shape/lowercase/prefix/suffix unigram templates -- the quality mode
 for unseen-entity generalization).
+``avg_from``: if > 0, also maintain a tail-averaged weight vector (mean
+of per-epoch weights from that epoch onward -- Polyak-style averaging,
+which smooths the late-epoch oscillation Adagrad+L2 shows on this
+objective) and evaluate/save it as ``model_avg``.
 """
 
 from __future__ import annotations
@@ -75,11 +80,20 @@ def main():
         f1 = 2 * prec * rec / max(prec + rec, 1e-12)
         return {"token_acc": agg.acc, "micro_p": prec, "micro_r": rec, "micro_f1": f1}
 
+    avg_from = int(sys.argv[6]) if len(sys.argv) > 6 else 0
+
     log_path = os.path.join(out_dir, "log.jsonl")
     best = {"f1": -1.0}
+    avg = {"sum": None, "n": 0}
 
     def cb(epoch, model, loss):
+        import numpy as np
+
         rec = {"epoch": epoch, "loss": loss, "sec": round(time.time() - t0, 1)}
+        if avg_from and epoch >= avg_from:
+            w = model.weights.astype(np.float64)
+            avg["sum"] = w if avg["sum"] is None else avg["sum"] + w
+            avg["n"] += 1
         if epoch % 3 == 0 or epoch == epochs:
             rec.update(evaluate(model))
             model.save(os.path.join(out_dir, "model"))
@@ -102,6 +116,15 @@ def main():
     print("FINAL", final, flush=True)
     with open(log_path, "a", encoding="utf-8") as f:
         f.write(json.dumps({"final": final}) + "\n")
+    if avg_from and avg["n"]:
+        import numpy as np
+
+        model.weights = (avg["sum"] / avg["n"]).astype(np.float32)
+        model.save(os.path.join(out_dir, "model_avg"))
+        favg = evaluate(model)
+        print(f"FINAL_AVG (epochs {avg_from}..{epochs})", favg, flush=True)
+        with open(log_path, "a", encoding="utf-8") as f:
+            f.write(json.dumps({"final_avg": favg, "avg_from": avg_from}) + "\n")
     spark.stop()
 
 
