@@ -181,7 +181,6 @@ def crf_gold_score_batch(
 def oracle_decode(E: np.ndarray, params: TransformerCRFParams) -> list[int]:
     """Per-sequence Viterbi transcription of ``transformer_ner.py:227-268``.
     ``E``: (T, K) float32."""
-    f32 = np.float32
     E = np.asarray(E, dtype=np.float32)
     T, K = E.shape
     if T == 0:
@@ -216,8 +215,6 @@ def oracle_forward(E: np.ndarray, params: TransformerCRFParams) -> np.float32:
     """Per-sequence forward transcription of ``transformer_ner.py:147-176``
     (unmasked: a single sequence of its own length), scalar float32 with
     sequential exp-sums."""
-    import math
-
     f32 = np.float32
     E = np.asarray(E, dtype=np.float32)
     T, K = E.shape

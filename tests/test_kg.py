@@ -283,3 +283,29 @@ def test_kg_dictionary_components_are_singletons(spark):
     assert links == [], [
         (r.src_key, r.dst_key, r.score) for r in links
     ]
+
+
+def test_stable_node_id_engine_portable(spark):
+    """graph.stable_node_id must equal the documented SQL formula
+    (('0x' || substring(md5(t || '|' || c), 1, 15))::BIGINT) -- checked
+    against an independent hashlib computation AND duckdb itself."""
+    import hashlib
+
+    import duckdb
+
+    from hmm_crf_ner_fromscratch_spark.operators.graph import stable_node_id
+
+    rows = [("OP", "scan"), ("OBJ", "window pane"), ("TOOL", "search|x")]
+    df = spark.createDataFrame(rows, "t string, c string").select(
+        "t", "c", stable_node_id(F.col("t"), F.col("c")).alias("node_id")
+    )
+    got = {(r.t, r.c): r.node_id for r in df.collect()}
+    con = duckdb.connect()
+    for t, c in rows:
+        want = int(hashlib.md5(f"{t}|{c}".encode()).hexdigest()[:15], 16)
+        assert got[(t, c)] == want, (t, c)
+        duck = con.execute(
+            "SELECT ('0x' || substring(md5(? || '|' || ?), 1, 15))::BIGINT",
+            [t, c],
+        ).fetchone()[0]
+        assert duck == want, (t, c)

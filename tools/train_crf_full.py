@@ -5,7 +5,9 @@ checkpointing the model and logging validation token accuracy + entity
 micro-F1 (check.py semantics: labels exclude O) after each epoch.
 
 Usage: python tools/train_crf_full.py [epochs] [lr] [out_dir] [l2] [mode]
-                                      [avg_from]
+                                      [avg_from] [corpus]
+``corpus``: "English" (default) or "Chinese" (BMES resume corpus,
+K=28 tags).
 ``mode``: "reference" (default, the 21 reference templates) or "extended"
 (adds shape/lowercase/prefix/suffix unigram templates -- the quality mode
 for unseen-entity generalization).
@@ -43,10 +45,16 @@ def main():
     mode = sys.argv[5] if len(sys.argv) > 5 else "reference"
     os.makedirs(out_dir, exist_ok=True)
 
+    corpus = sys.argv[7] if len(sys.argv) > 7 else "English"
+
     spark = get_spark(app_name="crf-full", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
-    train = read_conll(spark, "/root/reference/English/train.txt", doc_id="t").persist()
-    val = read_conll(spark, "/root/reference/English/validation.txt", doc_id="v").persist()
+    train = read_conll(
+        spark, f"/root/reference/{corpus}/train.txt", doc_id="t"
+    ).persist()
+    val = read_conll(
+        spark, f"/root/reference/{corpus}/validation.txt", doc_id="v"
+    ).persist()
     val.count()
 
     t0 = time.time()
