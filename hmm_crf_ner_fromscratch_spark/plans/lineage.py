@@ -12,24 +12,66 @@ Iceberg deployment.
 
 Lineage: after each stage commit, one row per output file (= output
 partition) is appended to ``<stage>/_lineage.parquet``: stage, run_id,
-snapshot_id, file, rows, checksum (order-insensitive xxhash of the rows).
+snapshot_id, file, rows, checksum (a parquet-footer fingerprint; the
+content-defined global checksum lives in the manifest as ``content_xor``).
 Resume correctness = manifest complete AND input snapshot ids unchanged.
+
+Single-pass commit: the content checksum (order-insensitive xxhash XOR over
+all rows) and row count are computed *during the write job* via
+``df.observe`` -- no second scan of the written data. Per-file row counts
+come from the parquet footers (metadata-only reads, threadpooled on the
+driver: the same listing+footer work an Iceberg commit does when building
+its manifest, O(n_files) not O(rows)). ``audit(stage)`` re-reads the data
+and re-derives the content XOR for integrity verification on demand --
+that full-scan path is opt-in instead of paid on every stage commit.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
 def _stable_hash(*parts: str) -> str:
-    import hashlib
-
     return hashlib.sha256("\x1f".join(parts).encode()).hexdigest()[:16]
+
+
+def _footer_meta(path: str) -> tuple[int, int, int]:
+    """(num_rows, file_bytes, fingerprint) for one parquet file.
+
+    The fingerprint hashes the raw footer bytes (schema, per-column
+    statistics, row-group offsets) + file size -- metadata-only I/O that
+    still changes whenever file content meaningfully changes.
+    """
+    import pyarrow.parquet as pq
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(max(0, size - 8))
+        tail = f.read(8)
+        flen = int.from_bytes(tail[:4], "little") if len(tail) == 8 else 0
+        flen = min(flen, max(0, size - 8))
+        f.seek(size - 8 - flen)
+        footer = f.read(flen + 8)
+    digest = hashlib.sha256(footer + str(size).encode()).digest()
+    fingerprint = int.from_bytes(digest[:8], "big", signed=True)
+    num_rows = pq.ParquetFile(path).metadata.num_rows
+    return num_rows, size, fingerprint
+
+
+def _list_parquet_files(data_dir: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(data_dir):
+        for name in files:
+            if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                out.append(os.path.join(root, name))
+    return sorted(out)
 
 
 class ParquetManifestTableIO:
@@ -80,55 +122,61 @@ class ParquetManifestTableIO:
     ) -> str:
         """Write stage output + lineage, then commit the manifest (the
         manifest write is the atomic commit point: written to a temp file
-        and renamed)."""
+        and renamed).
+
+        One data scan total: the content checksum (order-insensitive
+        xxhash64 XOR over all rows -- layout-independent, so the snapshot
+        id is identical under any partitioning) rides the write job via
+        ``observe``; per-file lineage comes from parquet footers.
+        """
+        from pyspark.sql import Observation
+
         data_dir = os.path.join(self._dir(stage), "data")
-        writer = df.write.mode("overwrite")
+        cols = [f.name for f in df.schema.fields]
+        obs = Observation(f"lineage_{stage}_{run_id}")
+        observed = df.observe(
+            obs,
+            # bit_xor: no ANSI overflow, any accumulation order
+            F.bit_xor(F.xxhash64(*cols)).alias("content_xor"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+        writer = observed.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
+        got = obs.get
+        global_xor = int(got["content_xor"]) if got["content_xor"] is not None else 0
+        total_rows = int(got["rows"])
 
-        out = self.spark.read.parquet(data_dir)
-        cols = [f.name for f in out.schema.fields]
-        lineage = (
-            out.withColumn("_file", F.input_file_name())
-            .groupBy("_file")
-            .agg(
-                F.count("*").alias("rows"),
-                # order-insensitive content checksum per output file
-                # (bit_xor: no ANSI overflow, any accumulation order)
-                F.bit_xor(F.xxhash64(*cols)).alias("checksum"),
-            )
-            .select(
-                F.lit(stage).alias("stage"),
-                F.lit(run_id).alias("run_id"),
-                F.col("_file").alias("file"),
-                "rows",
-                "checksum",
-            )
-        )
-        lineage_rows = lineage.collect()
-        # content-defined snapshot id: layout-independent (XOR of per-file
-        # XOR checksums == global row-set XOR under any partitioning)
-        global_xor = 0
-        for r in lineage_rows:
-            if r.checksum is not None:
-                global_xor ^= r.checksum
         snapshot = _stable_hash(
-            stage,
-            *input_snapshots,
-            str(sum(r.rows for r in lineage_rows)),
-            str(global_xor),
+            stage, *input_snapshots, str(total_rows), str(global_xor)
         )
-        lineage.withColumn("snapshot_id", F.lit(snapshot)).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(self._dir(stage), "_lineage.parquet"))
+
+        files = _list_parquet_files(data_dir)
+        with ThreadPoolExecutor(max_workers=min(32, max(1, len(files)))) as ex:
+            metas = list(ex.map(_footer_meta, files))
+        lineage_rows = [
+            (stage, run_id, path, int(n), int(fp), snapshot)
+            for path, (n, _size, fp) in zip(files, metas)
+        ]
+        self.spark.createDataFrame(
+            lineage_rows,
+            schema=(
+                "stage string, run_id string, file string, rows bigint, "
+                "checksum bigint, snapshot_id string"
+            ),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self._dir(stage), "_lineage.parquet")
+        )
 
         manifest = {
             "stage": stage,
             "snapshot_id": snapshot,
             "inputs": input_snapshots,
             "run_id": run_id,
-            "row_count": int(sum(r.rows for r in lineage_rows)),
+            "row_count": total_rows,
+            "content_xor": global_xor,
+            "columns": cols,
             "n_files": len(lineage_rows),
             "complete": True,
         }
@@ -145,6 +193,26 @@ class ParquetManifestTableIO:
         return self.spark.read.parquet(
             os.path.join(self._dir(stage), "_lineage.parquet")
         )
+
+    def audit(self, stage: str) -> bool:
+        """Full content-integrity verification: re-read the committed data
+        and re-derive the order-insensitive content XOR + row count; True
+        iff both match the manifest recorded at commit time. This is the
+        on-demand full-scan path the per-commit lineage no longer pays.
+        """
+        m = self.manifest(stage)
+        if not m or not m.get("complete"):
+            return False
+        out = self.read(stage)
+        # hash in the column order recorded at commit time (partitionBy
+        # reorders partition columns to the end on read-back)
+        cols = m.get("columns") or [f.name for f in out.schema.fields]
+        row = out.select(
+            F.bit_xor(F.xxhash64(*cols)).alias("x"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        got_xor = int(row.x) if row.x is not None else 0
+        return got_xor == m.get("content_xor") and int(row.n) == m["row_count"]
 
 
 class IcebergTableIO:

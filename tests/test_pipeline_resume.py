@@ -158,3 +158,35 @@ def test_lineage_rows(spark, english_golden, tmp_path):
     assert sum(r.rows for r in rows) == total
     m = pipe.io.manifest("mentions")
     assert m["row_count"] == total and m["complete"]
+    # single-pass commit still records a content-defined checksum
+    assert isinstance(m["content_xor"], int)
+
+
+def test_lineage_audit_detects_tamper(spark, tmp_path):
+    """audit() = on-demand full content verification: green on an intact
+    stage, red after a row is rewritten (the per-commit path no longer
+    scans data, so this is the integrity backstop)."""
+    import glob
+
+    from hmm_crf_ner_fromscratch_spark.plans.lineage import (
+        ParquetManifestTableIO,
+    )
+
+    io = ParquetManifestTableIO(spark, str(tmp_path / "t"))
+    df = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    snap = io.write("s", df, ["in:1"], "run1")
+    assert snap == io.snapshot_id("s")
+    assert io.audit("s") is True
+
+    # tamper: rewrite the data with one value changed, keep the manifest
+    changed = spark.range(0, 1000).withColumn(
+        "v", F.when(F.col("id") == 7, F.lit(-1)).otherwise(F.col("id") * 2)
+    )
+    for f in glob.glob(str(tmp_path / "t" / "s" / "data" / "*.parquet")):
+        import os
+
+        os.remove(f)
+    changed.coalesce(1).write.mode("append").parquet(
+        str(tmp_path / "t" / "s" / "data")
+    )
+    assert io.audit("s") is False
