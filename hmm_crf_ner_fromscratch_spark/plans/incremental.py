@@ -1,0 +1,315 @@
+"""Incremental KG ingest: delta decode over changed conversations only.
+
+At 100 TB the batch pipeline's invalidation rule ("any input change recomputes
+everything", plans/pipeline.py) is the wrong contract for the common case --
+an append-mostly transcript table where each ingest adds/edits a sliver of
+conversations. This module processes exactly that sliver:
+
+  1. per-conversation content digests (order-insensitive xxhash64 XOR over a
+     conversation's turns) diffed against the digests recorded at the last
+     commit -> changed / new / removed conversation sets;
+  2. the expensive conversation-local stages (decode -> mentions -> triples)
+     run ONLY over changed+new conversations (the Python DP never sees
+     unchanged data);
+  3. stage tables are hash-bucketed by conv_id and committed with dynamic
+     partition overwrite, so commit I/O touches only the buckets owning
+     affected conversations (removals empty their rows out of those same
+     buckets);
+  4. nodes/edges recompute globally from the merged mentions/triples --
+     entity linking and connected components are cross-conversation by
+     nature, so there is no conversation-local shortcut (an incremental CC
+     could warm-start from the previous component labels; recompute is the
+     correctness-first default and is the cheap end of the DAG);
+  5. snapshot ids stay content-defined through the per-bucket ledger
+     (lineage.write_bucketed): a chain of incremental commits converges to
+     the IDENTICAL stage snapshot ids a one-shot run over the final input
+     produces -- which is also the property the tests pin.
+
+Scale notes: the digest diff is one hash-aggregate scan of the input plus a
+join against the stored digest table on conv_id; the delta semi-join is a
+broadcast when the changed set is small (the common case). On a real
+deployment the input-side scan disappears too: table formats (Iceberg
+changelog / CDC feeds) hand over the changed-row set directly, which slots
+in as ``changed`` below without touching the rest of the flow.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.crf import CRFModel
+from ..operators.crf import decode_crf
+from ..operators.graph import build_graph
+from ..operators.hmm import decode_hmm
+from ..operators.mentions import extract_mentions
+from ..operators.relations import template_triples
+from ..sources.transcripts import salted_turns, tokenize_turns
+from .lineage import ParquetManifestTableIO, new_run_id
+from .pipeline import _model_fingerprint, transcripts_snapshot
+
+BUCKET_COL = "bucket"
+DIGEST_COLS = ("conv_id", "turn_idx", "role", "text")
+
+
+def conv_digests(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, digest): order-insensitive content hash per conversation.
+    Same hash family as transcripts_snapshot, restricted per conv."""
+    return transcripts.groupBy("conv_id").agg(
+        F.bit_xor(F.xxhash64(*DIGEST_COLS)).alias("digest"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+
+
+def _bucket_expr(n_buckets: int):
+    return F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class IncrementalResult:
+    run_id: str
+    full_load: bool
+    n_changed: int = 0
+    n_removed: int = 0
+    affected_buckets: list = field(default_factory=list)
+    executed: list[str] = field(default_factory=list)
+    skipped: list[str] = field(default_factory=list)
+    snapshots: dict = field(default_factory=dict)
+    metrics: dict = field(default_factory=dict)
+
+
+class IncrementalKGPipeline:
+    """Same stage DAG and operators as KGPipeline, delta execution.
+
+    ``n_buckets`` sizes the stage partitioning: pick so one bucket's decoded
+    rows fit an executor write task comfortably (at 100 TB input and the
+    default 1024 buckets that is ~100 GB of transcripts -> a few GB of
+    decoded parquet per bucket; raise for bigger corpora).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        model,
+        cross_turn_window: int = 2,
+        link_threshold: float = 0.72,
+        salt_bucket: int = 4096,
+        scheme: str = "bio",
+        n_buckets: int = 64,
+    ):
+        self.spark = spark
+        self.io = ParquetManifestTableIO(spark, work_dir)
+        self.model = model
+        self.cross_turn_window = cross_turn_window
+        self.link_threshold = link_threshold
+        self.salt_bucket = salt_bucket
+        self.scheme = scheme
+        self.n_buckets = n_buckets
+
+    # -- digest state --
+    def _convs_dir(self) -> str:
+        return os.path.join(self.io.base_dir, "_convs")
+
+    def _prev_digests(self) -> DataFrame | None:
+        d = self._convs_dir()
+        if not os.path.isdir(d):
+            return None
+        return self.spark.read.parquet(d)
+
+    def _decode(self, turns: DataFrame) -> DataFrame:
+        salted = salted_turns(tokenize_turns(turns), bucket=self.salt_bucket)
+        if isinstance(self.model, CRFModel):
+            return decode_crf(salted, self.model)
+        return decode_hmm(salted, self.model)
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(BUCKET_COL, _bucket_expr(self.n_buckets))
+
+    def _commit(
+        self,
+        res: IncrementalResult,
+        stage: str,
+        inputs: list[str],
+        compute,
+        affected: list[int] | None,
+        bucketed: bool = True,
+    ) -> str:
+        if self.io.is_complete(stage, inputs):
+            snap = self.io.snapshot_id(stage)
+            res.skipped.append(stage)
+            res.snapshots[stage] = snap
+            return snap
+        t0 = time.time()
+        df = compute()
+        if bucketed:
+            snap = self.io.write_bucketed(
+                stage, df, inputs, res.run_id, affected_buckets=affected
+            )
+        else:
+            snap = self.io.write(stage, df, inputs, res.run_id)
+        res.metrics[stage] = {
+            "sec": round(time.time() - t0, 2),
+            "rows": self.io.manifest(stage)["row_count"],
+        }
+        res.executed.append(stage)
+        res.snapshots[stage] = snap
+        return snap
+
+    def run(self, transcripts: DataFrame) -> IncrementalResult:
+        io = self.io
+        tx_snap = transcripts_snapshot(transcripts)
+        labeler = "labeler:" + _model_fingerprint(self.model)
+        digests_new = conv_digests(transcripts)
+        prev = self._prev_digests()
+
+        if prev is None:
+            res = IncrementalResult(run_id=new_run_id(), full_load=True)
+            affected = None
+            delta_tx = transcripts
+            affected_convs = None
+        else:
+            res = IncrementalResult(run_id=new_run_id(), full_load=False)
+            joined = digests_new.alias("n").join(
+                prev.alias("p"), "conv_id", "full_outer"
+            )
+            changed = joined.where(
+                F.col("p.digest").isNull()
+                | (F.col("n.digest") != F.col("p.digest"))
+            ).select("conv_id")
+            removed = joined.where(F.col("n.digest").isNull()).select("conv_id")
+            affected_convs = changed.unionByName(removed).persist()
+            buckets = [
+                int(r.b)
+                for r in affected_convs.select(
+                    _bucket_expr(self.n_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            res.n_changed = changed.count()
+            res.n_removed = removed.count()
+            res.affected_buckets = sorted(buckets)
+            affected = res.affected_buckets
+            # semi-join the input down to the changed conversations; AQE
+            # turns this into a broadcast join for small deltas
+            delta_tx = transcripts.join(changed, "conv_id", "left_semi")
+
+        def merged(stage: str, delta_df: DataFrame) -> DataFrame:
+            """delta rows + retained rows of the affected buckets, i.e. the
+            complete new content of exactly those buckets. localCheckpoint
+            cuts lineage to the stage's own files so the dynamic overwrite
+            does not read from the path it writes (on a cluster: a reliable
+            checkpoint or staging dir)."""
+            delta_b = self._with_bucket(delta_df)
+            if affected is None:
+                return delta_b
+            retained = io.read_buckets(stage, affected).join(
+                affected_convs, "conv_id", "left_anti"
+            )
+            cols = io.manifest(stage)["columns"] + [BUCKET_COL]
+            return (
+                retained.select(*cols)
+                .unionByName(delta_b.select(*cols))
+                .localCheckpoint(eager=True)
+            )
+
+        decoded_delta: dict = {}
+
+        def compute_decoded():
+            decoded_delta["df"] = self._decode(delta_tx).persist()
+            return merged("decoded", decoded_delta["df"])
+
+        s_dec = self._commit(
+            res, "decoded", [tx_snap, labeler], compute_decoded, affected
+        )
+        if "df" in decoded_delta and not res.full_load:
+            # cheap: the persisted delta was materialized by the commit
+            res.metrics["decoded"]["delta_rows"] = decoded_delta["df"].count()
+
+        def delta_decoded() -> DataFrame:
+            # reuse the in-memory delta when this run decoded it; on a
+            # crash-resume where 'decoded' was skipped, re-derive the delta
+            # from the committed stage table instead of re-decoding (the
+            # committed table already holds the NEW content, so the delta =
+            # rows of affected conversations; removed convs have no rows)
+            if "df" in decoded_delta:
+                return decoded_delta["df"]
+            base = io.read("decoded")
+            if affected is None:
+                return base
+            return io.read_buckets("decoded", affected).join(
+                affected_convs, "conv_id", "left_semi"
+            )
+
+        s_men = self._commit(
+            res,
+            "mentions",
+            [s_dec, "scheme:" + self.scheme],
+            lambda: merged(
+                "mentions",
+                extract_mentions(delta_decoded(), scheme=self.scheme),
+            ),
+            affected,
+        )
+        def delta_mentions() -> DataFrame:
+            # triples are conversation-local: template only the changed
+            # conversations' mentions (filter BEFORE the self-joins, reading
+            # only the affected buckets)
+            if affected is None:
+                return io.read("mentions")
+            return io.read_buckets("mentions", affected).join(
+                affected_convs, "conv_id", "left_semi"
+            )
+
+        s_tri = self._commit(
+            res,
+            "triples",
+            [s_men, f"w:{self.cross_turn_window}"],
+            lambda: merged(
+                "triples",
+                template_triples(
+                    delta_mentions(), cross_turn_window=self.cross_turn_window
+                ),
+            ),
+            affected,
+        )
+
+        # global stages: linking/CC see every conversation, so they rebuild
+        # from the merged tables (and skip when both inputs are unchanged)
+        shared: dict = {}
+
+        def graph(which: str):
+            if "nodes" not in shared:
+                shared["nodes"], shared["edges"] = build_graph(
+                    io.read("mentions").drop(BUCKET_COL),
+                    io.read("triples").drop(BUCKET_COL),
+                    link_threshold=self.link_threshold,
+                )
+            return shared[which]
+
+        self._commit(
+            res, "nodes", [s_men, s_tri], lambda: graph("nodes"), None, bucketed=False
+        )
+        self._commit(
+            res, "edges", [s_men, s_tri], lambda: graph("edges"), None, bucketed=False
+        )
+
+        # digest state commits last: a crash before this point replays the
+        # same delta on re-run (stages already committed skip via manifests)
+        digests_new.write.mode("overwrite").parquet(self._convs_dir() + "__tmp")
+        import shutil
+
+        if os.path.isdir(self._convs_dir()):
+            shutil.rmtree(self._convs_dir())
+        os.replace(self._convs_dir() + "__tmp", self._convs_dir())
+
+        if "df" in decoded_delta:
+            decoded_delta["df"].unpersist()
+        if affected_convs is not None:
+            affected_convs.unpersist()
+        return res

@@ -189,6 +189,143 @@ class ParquetManifestTableIO:
     def read(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._dir(stage), "data"))
 
+    # -- bucketed commits (incremental ingest) --
+    def write_bucketed(
+        self,
+        stage: str,
+        df: DataFrame,
+        input_snapshots: list[str],
+        run_id: str,
+        affected_buckets: list[int] | None = None,
+        bucket_col: str = "bucket",
+    ) -> str:
+        """Bucket-partitioned stage commit with a per-bucket content ledger.
+
+        ``affected_buckets is None`` -> full overwrite of the stage.
+        Otherwise ``df`` must hold the *complete new content of exactly
+        those buckets*; they are replaced via dynamic partition overwrite
+        (untouched buckets keep their files AND their ledger entries, so
+        commit I/O is proportional to the delta, not the table).
+
+        The ledger maps bucket -> (rows, content XOR). The global row
+        count / XOR -- and therefore the snapshot id -- are derived from
+        the ledger, so an incremental commit chain converges to the
+        IDENTICAL snapshot id a one-shot write of the same content
+        produces (XOR is associative; layout never enters the hash).
+        """
+        data_dir = os.path.join(self._dir(stage), "data")
+        prev = self.manifest(stage) if affected_buckets is not None else None
+        if affected_buckets is not None and not (prev and prev.get("complete")):
+            raise ValueError(f"delta commit on {stage} without a prior full commit")
+        cols = (
+            prev["columns"]
+            if prev
+            else [c for c in df.columns if c != bucket_col]
+        )
+
+        if affected_buckets is not None:
+            # the caller materialized df (eager checkpoint) so it no longer
+            # reads these files; dropping the affected partition dirs up
+            # front (a) makes an all-rows-removed bucket disappear -- a
+            # dynamic overwrite would never touch a partition it writes no
+            # rows for -- and (b) guarantees the ledger read-back below
+            # sees only fresh content, never stale files
+            import shutil
+
+            for b in affected_buckets:
+                stale = os.path.join(data_dir, f"{bucket_col}={int(b)}")
+                if os.path.isdir(stale):
+                    shutil.rmtree(stale)
+
+        conf = self.spark.conf
+        prev_mode = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        conf.set(
+            "spark.sql.sources.partitionOverwriteMode",
+            "dynamic" if affected_buckets is not None else "static",
+        )
+        try:
+            df.write.mode("overwrite").partitionBy(bucket_col).parquet(data_dir)
+        finally:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+        # per-bucket ledger refresh: scan ONLY the (re)written buckets
+        # (partition pruning on the read-back), hash in the recorded
+        # column order so delta and full commits agree bit-for-bit
+        out = self.spark.read.parquet(data_dir)
+        if affected_buckets is not None:
+            out = out.where(F.col(bucket_col).isin([int(b) for b in affected_buckets]))
+        agg = (
+            out.groupBy(bucket_col)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.bit_xor(F.xxhash64(*cols)).alias("xor"),
+            )
+            .collect()
+        )
+        ledger: dict = dict(prev["buckets"]) if prev else {}
+        written = {int(r[bucket_col]): r for r in agg}
+        for b in affected_buckets if affected_buckets is not None else []:
+            ledger.pop(str(int(b)), None)
+        for b, r in written.items():
+            ledger[str(b)] = {
+                "rows": int(r["rows"]),
+                "xor": int(r["xor"]) if r["xor"] is not None else 0,
+            }
+
+        total_rows = sum(e["rows"] for e in ledger.values())
+        global_xor = 0
+        for e in ledger.values():
+            global_xor ^= e["xor"]
+        snapshot = _stable_hash(
+            stage, *input_snapshots, str(total_rows), str(global_xor)
+        )
+
+        files = _list_parquet_files(data_dir)
+        with ThreadPoolExecutor(max_workers=min(32, max(1, len(files)))) as ex:
+            metas = list(ex.map(_footer_meta, files))
+        lineage_rows = [
+            (stage, run_id, path, int(n), int(fp), snapshot)
+            for path, (n, _size, fp) in zip(files, metas)
+        ]
+        self.spark.createDataFrame(
+            lineage_rows,
+            schema=(
+                "stage string, run_id string, file string, rows bigint, "
+                "checksum bigint, snapshot_id string"
+            ),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self._dir(stage), "_lineage.parquet")
+        )
+
+        manifest = {
+            "stage": stage,
+            "snapshot_id": snapshot,
+            "inputs": input_snapshots,
+            "run_id": run_id,
+            "row_count": total_rows,
+            "content_xor": global_xor,
+            "columns": cols,
+            "bucketed": True,
+            "bucket_col": bucket_col,
+            "buckets": ledger,
+            "n_files": len(lineage_rows),
+            "complete": True,
+        }
+        tmp = self._manifest_path(stage) + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path(stage))
+        return snapshot
+
+    def read_buckets(
+        self, stage: str, buckets: list[int], bucket_col: str = "bucket"
+    ) -> DataFrame:
+        """Partition-pruned read of a bucketed stage (only the listed
+        bucket directories are scanned)."""
+        return self.read(stage).where(
+            F.col(bucket_col).isin([int(b) for b in buckets])
+        )
+
     def lineage(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(
             os.path.join(self._dir(stage), "_lineage.parquet")
