@@ -24,6 +24,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 BENCH_QUERIES = [
     "kg_pipeline",
+    "kg_incremental",
     "hmm_decode_dict",
     "crf_decode_fixed",
     "transformer_decode",

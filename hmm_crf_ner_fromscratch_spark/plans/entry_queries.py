@@ -1763,11 +1763,11 @@ FROM win w, LATERAL unnest(generate_series(1, len(w.path))) AS gs(i)
 """
 
 
-def q_kg_pipeline(spark, sf_dir):
-    """Flagship: the full KG pipeline over documents-as-transcripts.
-    Rows-only (Viterbi inside). Returns the aggregated edge table."""
-    from ..operators.fused import decode_and_extract
-    from ..operators.graph import build_graph
+def _kg_model_and_test(spark, sf_dir):
+    """Shared flagship setup: dictionary-tagged turns, HMM trained on the
+    non-held-out split, held-out test turns. Used by both the one-shot
+    kg_pipeline and the two-ingest kg_incremental (same model, so both
+    converge to the same final state)."""
     from ..operators.hmm import train_hmm
 
     docs = _toks(spark, sf_dir)
@@ -1796,13 +1796,13 @@ def q_kg_pipeline(spark, sf_dir):
         )
     )
     test = turns.where(F.col("turn_idx") % 5 == 0).drop("tags")
-    # fused decode+extract: ONE python stage (BENCH finding: chained
-    # mapInPandas stages collapse at high parallelism). localCheckpoint:
-    # the mentions feed BOTH the triples window and the graph build;
-    # without it each consumer would re-run the python stage.
-    mentions = decode_and_extract(
-        test, model, key_cols=("conv_id", "turn_idx")
-    ).localCheckpoint()
+    return model, test
+
+
+def _kg_edges_from_mentions(mentions):
+    """Flagship tail: adjacency triple templating + edge aggregation."""
+    from ..operators.graph import build_graph
+
     # adjacency templating via lead(): one window, span extraction runs once
     w = Window.partitionBy("conv_id", "turn_idx").orderBy("span_start")
     nxt = mentions.select(
@@ -1830,6 +1830,77 @@ def q_kg_pipeline(spark, sf_dir):
     )
     _, edges = build_graph(mentions, triples)
     return edges.select("src", "pred", "dst", "weight")
+
+
+def q_kg_pipeline(spark, sf_dir):
+    """Flagship: the full KG pipeline over documents-as-transcripts.
+    Returns the aggregated edge table (SQL oracle: full recursive-CTE
+    mirror incl. HMM training + Viterbi)."""
+    from ..operators.fused import decode_and_extract
+
+    model, test = _kg_model_and_test(spark, sf_dir)
+    # fused decode+extract: ONE python stage (BENCH finding: chained
+    # mapInPandas stages collapse at high parallelism). localCheckpoint:
+    # the mentions feed BOTH the triples window and the graph build;
+    # without it each consumer would re-run the python stage.
+    mentions = decode_and_extract(
+        test, model, key_cols=("conv_id", "turn_idx")
+    ).localCheckpoint()
+    return _kg_edges_from_mentions(mentions)
+
+
+def q_kg_incremental(spark, sf_dir):
+    """Incremental-ingest variant of the flagship: the SAME final state,
+    built as TWO delta ingests through bucketed stage commits
+    (plans/lineage.write_bucketed) instead of one shot -- ingest 1 decodes
+    ~80%% of conversations, ingest 2 decodes ONLY the remaining
+    conversations and merges them via dynamic partition overwrite of the
+    affected buckets. The oracle is the one-shot full-recompute SQL
+    (SQL_KG_PIPELINE), so the driver independently verifies that the
+    incremental commit chain converges to the exact one-shot result."""
+    import tempfile
+
+    from ..operators.fused import decode_and_extract
+    from ..plans.lineage import ParquetManifestTableIO
+
+    model, test = _kg_model_and_test(spark, sf_dir)
+    n_buckets = 16
+    bucket = F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    batch2 = F.pmod(F.xxhash64("conv_id", F.lit(11)), F.lit(5)) == 0
+
+    io = ParquetManifestTableIO(spark, tempfile.mkdtemp(prefix="kg_incr_"))
+
+    # ingest 1: full commit of the first conversation batch
+    m1 = decode_and_extract(
+        test.where(~batch2), model, key_cols=("conv_id", "turn_idx")
+    ).withColumn("bucket", bucket)
+    io.write_bucketed("mentions", m1, ["ingest:1"], "r1")
+
+    # ingest 2: decode ONLY the new conversations; merge into the buckets
+    # they land in (retained rows of those buckets + the delta)
+    delta = decode_and_extract(
+        test.where(batch2), model, key_cols=("conv_id", "turn_idx")
+    ).withColumn("bucket", bucket)
+    affected = sorted(
+        r.bucket for r in delta.select("bucket").distinct().collect()
+    )
+    new_convs = test.where(batch2).select("conv_id").distinct()
+    retained = io.read_buckets("mentions", affected).join(
+        new_convs, "conv_id", "left_anti"
+    )
+    cols = io.manifest("mentions")["columns"] + ["bucket"]
+    merged = (
+        retained.select(*cols)
+        .unionByName(delta.select(*cols))
+        .localCheckpoint(eager=True)
+    )
+    io.write_bucketed(
+        "mentions", merged, ["ingest:2"], "r2", affected_buckets=affected
+    )
+
+    return _kg_edges_from_mentions(
+        io.read("mentions").drop("bucket").localCheckpoint()
+    )
 
 
 def _kg_pipeline_sql() -> str:
@@ -1997,6 +2068,7 @@ QUERIES = {
     "crf_decode_fixed": q_crf_decode_fixed,
     "transformer_decode": q_transformer_decode,
     "kg_pipeline": q_kg_pipeline,
+    "kg_incremental": q_kg_incremental,
 }
 
 ORACLES = {
@@ -2030,6 +2102,9 @@ ORACLES = {
     "crf_decode_fixed": _crf_decode_fixed_sql(),
     "transformer_decode": _transformer_decode_sql(),
     "kg_pipeline": _kg_pipeline_sql(),
+    # the incremental ingest chain must converge to the one-shot result,
+    # so its oracle IS the one-shot full-recompute SQL
+    "kg_incremental": _kg_pipeline_sql(),
     # crf_decode_dict: rows-only -- its adagrad-trained weights embed a
     # training trajectory not reproducible in SQL; decode itself is
     # oracle-verified via crf_decode_fixed
