@@ -208,6 +208,26 @@ def test_train_crf_learns(spark, tiny_df):
     assert correct / total >= 0.9, (correct, total)
 
 
+def test_train_crf_tail_averaging(spark, tiny_df):
+    """average_from returns the exact mean of the per-epoch weight
+    snapshots from that epoch onward (captured via epoch_callback)."""
+    import numpy as np
+
+    snaps = {}
+
+    def cb(epoch, model, loss):
+        snaps[epoch] = model.weights.astype(np.float64).copy()
+
+    model, losses = train_crf(
+        tiny_df, epochs=6, lr=0.5, epoch_callback=cb, average_from=4
+    )
+    assert len(losses) == 6 and set(snaps) == {1, 2, 3, 4, 5, 6}
+    expected = np.mean([snaps[e] for e in (4, 5, 6)], axis=0).astype(
+        np.float32
+    )
+    assert np.array_equal(model.weights, expected)
+
+
 # ---------------------------------------------------------------------
 # Extended template mode (shape/prefix/suffix generalization features)
 # ---------------------------------------------------------------------
