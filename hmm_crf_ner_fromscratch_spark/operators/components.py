@@ -128,6 +128,7 @@ def connected_components(
     dst: str = "dst_key",
     max_iter: int = 25,
     local_threshold: int = 500_000,
+    seed: DataFrame | None = None,
 ) -> DataFrame:
     """Returns ``DataFrame[key, component]`` for every vertex appearing in
     ``edges``; ``component`` is the minimum key in the vertex's component.
@@ -143,6 +144,18 @@ def connected_components(
     small link graphs), above it the distributed min-label loop runs.
     Both paths produce identical (key, min-key-of-component) rows --
     property-tested equivalent.
+
+    ``seed`` (``DataFrame[key, component]``, e.g. the previous snapshot's
+    assignment) warm-starts the distributed loop: labels initialize to
+    the seed instead of each vertex's own key, so regions whose component
+    structure did not change converge in one round instead of
+    O(diameter). SOUNDNESS CAVEAT: a seed label must name a vertex in
+    the SAME component under the current edge set -- true when edges only
+    GROW between snapshots (a component can merge but never split; the
+    old min is still a member). If edges may have been removed (e.g.
+    incremental ingest with conversation deletion), do NOT seed --
+    recompute cold, as plans/incremental.py does. The local union-find
+    path ignores the seed (it is one-shot anyway).
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -167,7 +180,24 @@ def connected_components(
         return spark.createDataFrame(rows, schema)
     labels = sym.select(F.col("u").alias("key")).distinct().withColumn(
         "component", F.col("key")
-    ).localCheckpoint()
+    )
+    if seed is not None:
+        labels = (
+            labels.join(
+                seed.select("key", F.col("component").alias("_seed")),
+                "key",
+                "left",
+            )
+            # least() guards a malformed seed (label > key can never be a
+            # component min); coalesce covers vertices new since the seed
+            .select(
+                "key",
+                F.least(
+                    F.coalesce("_seed", F.col("key")), F.col("key")
+                ).alias("component"),
+            )
+        )
+    labels = labels.localCheckpoint()
 
     for _ in range(max_iter):
         # neighbor labels: for vertex u, min label among neighbors v

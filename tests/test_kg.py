@@ -181,6 +181,55 @@ def test_connected_components_star_random_graphs(spark):
         assert star == base, f"star mismatch on {edges_py[:5]}..."
 
 
+def test_connected_components_warm_start(spark):
+    """Seeded (warm-start) min-label propagation equals cold recompute
+    under append-only edge growth, and a complete seed converges without
+    propagation rounds (max_iter=1 suffices where cold needs many)."""
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"w{i:02d}" for i in range(24)]
+    e1_py = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(20)]
+    e1_py = [(a, b) for a, b in e1_py if a != b]
+    e2_py = e1_py + [(rng.choice(nodes), rng.choice(nodes)) for _ in range(12)]
+    e2_py = [(a, b) for a, b in e2_py if a != b]
+    e1 = spark.createDataFrame(e1_py, "src_key string, dst_key string")
+    e2 = spark.createDataFrame(e2_py, "src_key string, dst_key string")
+
+    seed = connected_components(e1, local_threshold=0, max_iter=60)
+    cold = {
+        r.key: r.component
+        for r in connected_components(e2, local_threshold=0, max_iter=60).collect()
+    }
+    warm = {
+        r.key: r.component
+        for r in connected_components(
+            e2, local_threshold=0, max_iter=60, seed=seed
+        ).collect()
+    }
+    assert warm == cold
+
+    # long path: cold min-label with max_iter=1 CANNOT finish, while a
+    # complete seed makes round 1 a no-op fixpoint -> correct labels
+    path = [(f"q{i:02d}", f"q{i + 1:02d}") for i in range(30)]
+    ep = spark.createDataFrame(path, "src_key string, dst_key string")
+    full = connected_components(ep, local_threshold=0, max_iter=60)
+    expected = {r.key: r.component for r in full.collect()}
+    assert set(expected.values()) == {"q00"}
+    one_round_cold = {
+        r.key: r.component
+        for r in connected_components(ep, local_threshold=0, max_iter=1).collect()
+    }
+    assert one_round_cold != expected
+    one_round_warm = {
+        r.key: r.component
+        for r in connected_components(
+            ep, local_threshold=0, max_iter=1, seed=full
+        ).collect()
+    }
+    assert one_round_warm == expected
+
+
 def test_build_graph_e2e(spark, english_golden):
     mentions = _mention_rows(spark, english_golden, n_sents=200)
     triples = template_triples(mentions, cross_turn_window=2)
