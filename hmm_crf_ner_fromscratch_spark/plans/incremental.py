@@ -160,29 +160,109 @@ class IncrementalKGPipeline:
         res.snapshots[stage] = snap
         return snap
 
-    def run(self, transcripts: DataFrame) -> IncrementalResult:
+    def run_append(self, delta_tx: DataFrame) -> IncrementalResult:
+        """CDC/micro-batch ingest: ``delta_tx`` holds the complete current
+        turns of SOME conversations (new or updated); everything else is
+        untouched. No full-input scan happens anywhere -- the cost is
+        O(delta + affected buckets), which is what a foreachBatch sink or
+        an Iceberg changelog feed needs at 100 TB.
+
+        The input snapshot id stays EQUAL to what a full run() over the
+        entire table would compute: transcripts_snapshot is an XOR over
+        rows, so it is derivable from the per-conversation digest state
+        (XOR of digests, sum of turn counts) without touching the table.
+        Stage snapshots therefore converge to the one-shot ids -- pinned
+        by test.
+        """
         io = self.io
+        prev = self._prev_digests()
+        if prev is None:
+            # first batch = first full load
+            return self.run(delta_tx)
+
+        digests_delta = conv_digests(delta_tx).persist()
+        # ignore no-op re-deliveries (same conv content re-sent)
+        changed = (
+            digests_delta.alias("d")
+            .join(prev.alias("p"), "conv_id", "left")
+            .where(
+                F.col("p.digest").isNull()
+                | (F.col("d.digest") != F.col("p.digest"))
+            )
+            .select("conv_id")
+            .persist()
+        )
+        merged_digests = prev.join(
+            digests_delta.select("conv_id"), "conv_id", "left_anti"
+        ).unionByName(digests_delta)
+        # full-input snapshot id WITHOUT a full-input scan: the global row
+        # XOR is the XOR of per-conversation digests (same hash family as
+        # transcripts_snapshot), the row count is the sum of turn counts
+        row = merged_digests.agg(
+            F.bit_xor("digest").alias("h"), F.sum("n_turns").alias("n")
+        ).first()
+        tx_snap = f"tx:{row.h}:{row.n}"
+        res = self._run_delta(
+            delta_tx.join(changed, "conv_id", "left_semi"),
+            changed,
+            None,
+            merged_digests,
+            tx_snap,
+        )
+        digests_delta.unpersist()
+        changed.unpersist()
+        return res
+
+    def run(self, transcripts: DataFrame) -> IncrementalResult:
+        """Full-input ingest: diff the whole table's conversation digests
+        against the recorded state; decode only the difference."""
         tx_snap = transcripts_snapshot(transcripts)
-        labeler = "labeler:" + _model_fingerprint(self.model)
         digests_new = conv_digests(transcripts)
         prev = self._prev_digests()
 
         if prev is None:
+            return self._run_delta(transcripts, None, None, digests_new, tx_snap)
+
+        joined = digests_new.alias("n").join(
+            prev.alias("p"), "conv_id", "full_outer"
+        )
+        changed = joined.where(
+            F.col("p.digest").isNull()
+            | (F.col("n.digest") != F.col("p.digest"))
+        ).select("conv_id").persist()
+        removed = joined.where(F.col("n.digest").isNull()).select("conv_id")
+        res = self._run_delta(
+            # semi-join the input down to the changed conversations; AQE
+            # turns this into a broadcast join for small deltas
+            transcripts.join(changed, "conv_id", "left_semi"),
+            changed,
+            removed,
+            digests_new,
+            tx_snap,
+        )
+        changed.unpersist()
+        return res
+
+    def _run_delta(
+        self,
+        delta_tx: DataFrame,
+        changed: DataFrame | None,
+        removed: DataFrame | None,
+        new_digest_state: DataFrame,
+        tx_snap: str,
+    ) -> IncrementalResult:
+        io = self.io
+        labeler = "labeler:" + _model_fingerprint(self.model)
+
+        if changed is None:
             res = IncrementalResult(run_id=new_run_id(), full_load=True)
             affected = None
-            delta_tx = transcripts
             affected_convs = None
         else:
             res = IncrementalResult(run_id=new_run_id(), full_load=False)
-            joined = digests_new.alias("n").join(
-                prev.alias("p"), "conv_id", "full_outer"
-            )
-            changed = joined.where(
-                F.col("p.digest").isNull()
-                | (F.col("n.digest") != F.col("p.digest"))
-            ).select("conv_id")
-            removed = joined.where(F.col("n.digest").isNull()).select("conv_id")
-            affected_convs = changed.unionByName(removed).persist()
+            affected_convs = (
+                changed.unionByName(removed) if removed is not None else changed
+            ).persist()
             buckets = [
                 int(r.b)
                 for r in affected_convs.select(
@@ -192,12 +272,9 @@ class IncrementalKGPipeline:
                 .collect()
             ]
             res.n_changed = changed.count()
-            res.n_removed = removed.count()
+            res.n_removed = removed.count() if removed is not None else 0
             res.affected_buckets = sorted(buckets)
             affected = res.affected_buckets
-            # semi-join the input down to the changed conversations; AQE
-            # turns this into a broadcast join for small deltas
-            delta_tx = transcripts.join(changed, "conv_id", "left_semi")
 
         def merged(stage: str, delta_df: DataFrame) -> DataFrame:
             """delta rows + retained rows of the affected buckets, i.e. the
@@ -301,7 +378,9 @@ class IncrementalKGPipeline:
 
         # digest state commits last: a crash before this point replays the
         # same delta on re-run (stages already committed skip via manifests)
-        digests_new.write.mode("overwrite").parquet(self._convs_dir() + "__tmp")
+        new_digest_state.write.mode("overwrite").parquet(
+            self._convs_dir() + "__tmp"
+        )
         import shutil
 
         if os.path.isdir(self._convs_dir()):

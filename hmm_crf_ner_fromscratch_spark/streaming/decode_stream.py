@@ -185,3 +185,38 @@ def stream_entity_state(
         outputMode="append",
         timeoutConf=timeout_conf,
     )
+
+
+def stream_kg_ingest(
+    stream: DataFrame,
+    pipeline,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Drive the incremental KG pipeline from a transcript stream: each
+    micro-batch flows through ``IncrementalKGPipeline.run_append`` via
+    ``foreachBatch``, so the KG tables (decoded/mentions/triples/nodes/
+    edges) advance per batch with delta-only decode and bucket-scoped
+    commits.
+
+    Source contract: a micro-batch must carry the COMPLETE current
+    turn-set of every conversation it touches (conversation-snapshot CDC
+    -- e.g. an upstream sessionizer emitting closed conversations, or an
+    Iceberg changelog feed grouped by conv_id); ``run_append`` replaces a
+    conversation's content wholesale. Effective exactly-once: on recovery
+    foreachBatch re-delivers the same batch, and a re-delivered batch is
+    a digest no-op (every stage skips -- pinned by
+    tests/test_incremental.py::test_run_append_matches_full_run).
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pipeline.run_append(batch_df.select(*TRANSCRIPT_COLUMNS))
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -117,6 +117,82 @@ def test_incremental_delta_and_convergence(spark, english_golden, tmp_path):
     assert _edges_set(inc.io) == _edges_set(batch.io)
 
 
+def test_run_append_matches_full_run(spark, english_golden, tmp_path):
+    """CDC-style run_append (no full-input scan) lands on the IDENTICAL
+    stage snapshots as a full-table run() over the same final content --
+    including the derived full-input snapshot id, which run_append
+    reconstructs from the digest state alone."""
+    sents = load_eval_sentences(english_golden["val"])[:200]
+    tx1 = synth_transcripts(spark, 300, seed=31, eval_sentences=sents)
+    extra = synth_transcripts(spark, 100, seed=55).withColumn(
+        "conv_id", F.concat(F.lit("y_"), F.col("conv_id"))
+    )
+    full = tx1.unionByName(extra)
+    model = train_hmm(read_conll(spark, english_golden["train"], doc_id="t"))
+
+    appender = IncrementalKGPipeline(
+        spark, str(tmp_path / "app"), model, salt_bucket=64, n_buckets=16
+    )
+    a1 = appender.run_append(tx1)  # first batch = full load
+    assert a1.full_load
+    a2 = appender.run_append(extra)  # second batch: only new convs decoded
+    assert not a2.full_load
+    assert a2.n_changed == extra.select("conv_id").distinct().count()
+    assert a2.n_removed == 0
+    assert a2.metrics["decoded"]["delta_rows"] == extra.count()
+
+    # re-delivering the same batch is a no-op: digests unchanged -> the
+    # derived input snapshot matches -> every stage skips
+    a3 = appender.run_append(extra)
+    assert a3.executed == []
+    assert a3.skipped == ["decoded", "mentions", "triples", "nodes", "edges"]
+
+    oneshot = IncrementalKGPipeline(
+        spark, str(tmp_path / "one"), model, salt_bucket=64, n_buckets=16
+    )
+    r_one = oneshot.run(full)
+    for stage in ("decoded", "mentions", "triples"):
+        assert a2.snapshots[stage] == r_one.snapshots[stage], stage
+    assert _edges_set(appender.io) == _edges_set(oneshot.io)
+
+
+def test_stream_kg_ingest(spark, english_golden, tmp_path):
+    """Transcript stream -> foreachBatch -> incremental KG: after two
+    conversation-snapshot micro-batches the KG equals a one-shot run over
+    the union."""
+    from hmm_crf_ner_fromscratch_spark.streaming.decode_stream import (
+        read_transcript_stream,
+        stream_kg_ingest,
+    )
+
+    sents = load_eval_sentences(english_golden["val"])[:200]
+    tx = synth_transcripts(spark, 300, seed=41, eval_sentences=sents).persist()
+    model = train_hmm(read_conll(spark, english_golden["train"], doc_id="t"))
+    # conversation-disjoint chunks (the conversation-snapshot contract)
+    in_batch1 = tx.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0)
+    in_batch2 = tx.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 1)
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    pipe = IncrementalKGPipeline(
+        spark, str(tmp_path / "kg"), model, salt_bucket=64, n_buckets=16
+    )
+
+    in_batch1.write.mode("append").parquet(in_dir)
+    q = stream_kg_ingest(read_transcript_stream(spark, in_dir), pipe, ckpt)
+    q.awaitTermination(600)
+    in_batch2.write.mode("append").parquet(in_dir)
+    q2 = stream_kg_ingest(read_transcript_stream(spark, in_dir), pipe, ckpt)
+    q2.awaitTermination(600)
+
+    oneshot = IncrementalKGPipeline(
+        spark, str(tmp_path / "one"), model, salt_bucket=64, n_buckets=16
+    )
+    oneshot.run(tx)
+    assert _edges_set(pipe.io) == _edges_set(oneshot.io)
+    tx.unpersist()
+
+
 def test_conv_digests_order_insensitive(spark):
     tx = synth_transcripts(spark, 60, seed=5)
     d1 = {r.conv_id: r.digest for r in conv_digests(tx).collect()}
