@@ -119,7 +119,9 @@ class IncrementalKGPipeline:
         d = self._convs_dir()
         if not os.path.isdir(d):
             return None
-        return self.spark.read.parquet(d)
+        # stored bucket-partitioned (same conv_id hash as the stage
+        # tables) so append ingests can read/write it delta-scoped
+        return self.spark.read.parquet(d).select("conv_id", "digest", "n_turns")
 
     def _decode(self, turns: DataFrame) -> DataFrame:
         salted = salted_turns(tokenize_turns(turns), bucket=self.salt_bucket)
@@ -195,18 +197,68 @@ class IncrementalKGPipeline:
         merged_digests = prev.join(
             digests_delta.select("conv_id"), "conv_id", "left_anti"
         ).unionByName(digests_delta)
-        # full-input snapshot id WITHOUT a full-input scan: the global row
-        # XOR is the XOR of per-conversation digests (same hash family as
-        # transcripts_snapshot), the row count is the sum of turn counts
+        # full-input snapshot id WITHOUT a full-input scan of the
+        # transcripts: the global row XOR is the XOR of per-conversation
+        # digests (same hash family as transcripts_snapshot), the row
+        # count is the sum of turn counts. The digest table itself is one
+        # compact row per conversation -- the only O(#convs) touch.
         row = merged_digests.agg(
             F.bit_xor("digest").alias("h"), F.sum("n_turns").alias("n")
         ).first()
         tx_snap = f"tx:{row.h}:{row.n}"
+
+        def commit_digests():
+            # delta-scoped state update: only the buckets owning changed
+            # conversations are rewritten (dynamic partition overwrite);
+            # a crash mid-write self-heals -- re-delivery re-detects the
+            # not-yet-recorded conversations and stages skip by manifest
+            d_affected = [
+                int(r.b)
+                for r in changed.select(_bucket_expr(self.n_buckets).alias("b"))
+                .distinct()
+                .collect()
+            ]
+            if not d_affected:
+                return
+            changed_digests = digests_delta.join(changed, "conv_id", "left_semi")
+            retained = (
+                self._prev_digests()
+                .withColumn(BUCKET_COL, _bucket_expr(self.n_buckets))
+                .where(F.col(BUCKET_COL).isin(d_affected))
+                .join(changed, "conv_id", "left_anti")
+            )
+            new_content = (
+                retained.select("conv_id", "digest", "n_turns", BUCKET_COL)
+                .unionByName(
+                    self._with_bucket(changed_digests).select(
+                        "conv_id", "digest", "n_turns", BUCKET_COL
+                    )
+                )
+                .localCheckpoint(eager=True)
+            )
+            import shutil
+
+            for b in d_affected:
+                stale = os.path.join(self._convs_dir(), f"{BUCKET_COL}={b}")
+                if os.path.isdir(stale):
+                    shutil.rmtree(stale)
+            conf = self.spark.conf
+            prev_mode = conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                new_content.write.mode("overwrite").partitionBy(
+                    BUCKET_COL
+                ).parquet(self._convs_dir())
+            finally:
+                conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
         res = self._run_delta(
             delta_tx.join(changed, "conv_id", "left_semi"),
             changed,
             None,
-            merged_digests,
+            commit_digests,
             tx_snap,
         )
         digests_delta.unpersist()
@@ -220,8 +272,22 @@ class IncrementalKGPipeline:
         digests_new = conv_digests(transcripts)
         prev = self._prev_digests()
 
+        def commit_digests():
+            # full rewrite, atomically swapped (tmp dir + rename)
+            out = self._with_bucket(digests_new)
+            out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+                self._convs_dir() + "__tmp"
+            )
+            import shutil
+
+            if os.path.isdir(self._convs_dir()):
+                shutil.rmtree(self._convs_dir())
+            os.replace(self._convs_dir() + "__tmp", self._convs_dir())
+
         if prev is None:
-            return self._run_delta(transcripts, None, None, digests_new, tx_snap)
+            return self._run_delta(
+                transcripts, None, None, commit_digests, tx_snap
+            )
 
         joined = digests_new.alias("n").join(
             prev.alias("p"), "conv_id", "full_outer"
@@ -237,7 +303,7 @@ class IncrementalKGPipeline:
             transcripts.join(changed, "conv_id", "left_semi"),
             changed,
             removed,
-            digests_new,
+            commit_digests,
             tx_snap,
         )
         changed.unpersist()
@@ -248,7 +314,7 @@ class IncrementalKGPipeline:
         delta_tx: DataFrame,
         changed: DataFrame | None,
         removed: DataFrame | None,
-        new_digest_state: DataFrame,
+        commit_digests,
         tx_snap: str,
     ) -> IncrementalResult:
         io = self.io
@@ -378,14 +444,7 @@ class IncrementalKGPipeline:
 
         # digest state commits last: a crash before this point replays the
         # same delta on re-run (stages already committed skip via manifests)
-        new_digest_state.write.mode("overwrite").parquet(
-            self._convs_dir() + "__tmp"
-        )
-        import shutil
-
-        if os.path.isdir(self._convs_dir()):
-            shutil.rmtree(self._convs_dir())
-        os.replace(self._convs_dir() + "__tmp", self._convs_dir())
+        commit_digests()
 
         if "df" in decoded_delta:
             decoded_delta["df"].unpersist()

@@ -326,6 +326,53 @@ class ParquetManifestTableIO:
             F.col(bucket_col).isin([int(b) for b in buckets])
         )
 
+    def compact(
+        self,
+        stage: str,
+        buckets: list[int] | None = None,
+        run_id: str | None = None,
+    ) -> str:
+        """Rewrite bucket partitions into one file each (delta commits
+        accumulate a file per commit per bucket; this is the
+        rewrite-data-files maintenance job). Because snapshot ids are
+        content-defined and layout-independent, compaction MUST return
+        the identical snapshot id -- verified after the rewrite commits;
+        a mismatch raises so orchestration halts at the damaged stage
+        (recoverable: upstream manifests + lineage pin what to rebuild)
+        instead of silently proceeding with changed content.
+        """
+        m = self.manifest(stage)
+        if not (m and m.get("complete") and m.get("bucketed")):
+            raise ValueError(f"{stage} is not a committed bucketed stage")
+        bucket_col = m.get("bucket_col", "bucket")
+        buckets = (
+            [int(b) for b in m["buckets"]] if buckets is None else list(buckets)
+        )
+        if not buckets:
+            return m["snapshot_id"]
+        # one shuffle partition per bucket value -> one file per bucket
+        # dir after partitionBy; eager checkpoint cuts lineage to the old
+        # files so the overwrite below is safe
+        df = (
+            self.read_buckets(stage, buckets, bucket_col=bucket_col)
+            .repartition(len(buckets), F.col(bucket_col))
+            .localCheckpoint(eager=True)
+        )
+        snap = self.write_bucketed(
+            stage,
+            df,
+            m["inputs"],
+            run_id or (m["run_id"] + ".compact"),
+            affected_buckets=buckets,
+            bucket_col=bucket_col,
+        )
+        if snap != m["snapshot_id"]:
+            raise RuntimeError(
+                f"compaction changed content of {stage}: "
+                f"{m['snapshot_id']} -> {snap}"
+            )
+        return snap
+
     def lineage(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(
             os.path.join(self._dir(stage), "_lineage.parquet")

@@ -193,6 +193,48 @@ def test_stream_kg_ingest(spark, english_golden, tmp_path):
     tx.unpersist()
 
 
+def test_compaction_preserves_snapshot(spark, tmp_path):
+    """Delta commits accumulate files; compact() rewrites buckets to one
+    file each and must land on the IDENTICAL content-defined snapshot."""
+    import glob
+
+    from hmm_crf_ner_fromscratch_spark.plans.lineage import (
+        ParquetManifestTableIO,
+    )
+
+    io = ParquetManifestTableIO(spark, str(tmp_path / "t"))
+
+    def batch(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .withColumn("v", F.col("id") * 3)
+            .withColumn(
+                "bucket", F.pmod(F.xxhash64("id"), F.lit(4)).cast("int")
+            )
+            .repartition(6)
+        )
+
+    io.write_bucketed("s", batch(0, 2000), ["i1"], "r1")
+    delta = batch(2000, 3000).localCheckpoint(eager=True)
+    affected = [r.bucket for r in delta.select("bucket").distinct().collect()]
+    merged = (
+        io.read_buckets("s", affected)
+        .select("id", "v", "bucket")
+        .unionByName(delta.select("id", "v", "bucket"))
+        .localCheckpoint(eager=True)
+    )
+    snap = io.write_bucketed("s", merged, ["i2"], "r2", affected_buckets=affected)
+
+    files_before = glob.glob(str(tmp_path / "t" / "s" / "data" / "bucket=*" / "*.parquet"))
+    assert len(files_before) > 4  # multiple files per bucket after 2 commits
+    assert io.compact("s") == snap
+    files_after = glob.glob(str(tmp_path / "t" / "s" / "data" / "bucket=*" / "*.parquet"))
+    assert len(files_after) == 4  # one file per bucket
+    # content untouched
+    assert io.read("s").count() == 3000
+    assert io.manifest("s")["snapshot_id"] == snap
+
+
 def test_conv_digests_order_insensitive(spark):
     tx = synth_transcripts(spark, 60, seed=5)
     d1 = {r.conv_id: r.digest for r in conv_digests(tx).collect()}
