@@ -117,6 +117,63 @@ def minhash_near_duplicates(
     )
 
 
+def jaccard_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    df_cap: int = 20,
+) -> DataFrame:
+    """Exhaustive n-gram Jaccard near-dup detection (no hashing
+    approximation): candidate pairs share at least one RARE shingle,
+    then exact shingle-set Jaccard confirms.
+
+    The scale knob is ``df_cap``: shingles with document frequency above
+    it are stop-shingles and generate no candidates, bounding each
+    shingle's join fan-out at df_cap^2 pairs regardless of corpus size
+    (the standard inverted-index trick; boilerplate shingles would
+    otherwise pair every document with every other). The tradeoff is
+    recall on pairs that share ONLY stop-shingles -- by construction
+    those pairs overlap on text every >df_cap documents repeat.
+    Complement to minhash_near_duplicates: exact among rare-shingle
+    pairs vs probabilistic-but-cheaper banding.
+    """
+    sh = shingle_sets(df, text_col, id_col).persist()
+    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    rare = (
+        ex.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= df_cap)
+        .select("sh")
+    )
+    exr = ex.join(rare, "sh")
+    a, b = exr.alias("a"), exr.alias("b")
+    cands = (
+        a.join(
+            b,
+            [
+                F.col("a.sh") == F.col("b.sh"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
 ) -> DataFrame:

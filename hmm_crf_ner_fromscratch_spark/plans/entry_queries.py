@@ -519,6 +519,49 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+JACCARD_DF_CAP = 20
+
+
+def q_jaccard_ngram(spark, sf_dir):
+    """Exhaustive n-gram Jaccard near-dup pairs: candidates share >= 1
+    rare shingle (document frequency <= cap -- the stop-shingle bound
+    that keeps per-shingle join fan-out constant at any corpus size),
+    exact shingle-set Jaccard confirm. The exact-recall complement to
+    dedup_minhash's probabilistic banding."""
+    from ..operators.dedup import jaccard_near_duplicates
+
+    return jaccard_near_duplicates(
+        _docs(spark, sf_dir),
+        threshold=JACCARD_THRESHOLD,
+        df_cap=JACCARD_DF_CAP,
+    )
+
+
+SQL_JACCARD_NGRAM = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - {N_SHINGLE - 1}, 1))) AS i, toks FROM t),
+sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i + {N_SHINGLE - 1}], ' ') AS sh FROM pos),
+rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh) WHERE df <= {JACCARD_DF_CAP}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN rare r ON a.sh = r.sh
+  JOIN sh b ON b.sh = a.sh AND b.doc_id > a.doc_id),
+ssize AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ni
+  FROM cands c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+  GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.ni AS DOUBLE) / CAST(na.n + nb.n - i.ni AS DOUBLE) AS jaccard
+FROM inter i
+JOIN ssize na ON na.doc_id = i.doc_a
+JOIN ssize nb ON nb.doc_id = i.doc_b
+WHERE CAST(i.ni AS DOUBLE) / CAST(na.n + nb.n - i.ni AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
+
+
 SQL_DEDUP_MINHASH = f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 pos AS (SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - {N_SHINGLE - 1}, 1))) AS i, toks FROM t),
@@ -2056,6 +2099,7 @@ QUERIES = {
     "eval_report": q_eval_report,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "jaccard_ngram": q_jaccard_ngram,
     "sim_topk": q_sim_topk,
     "textstats": q_textstats,
     "lang_distribution": q_lang_distribution,
@@ -2091,6 +2135,7 @@ ORACLES = {
     "eval_report": _eval_report_sql(),
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,
+    "jaccard_ngram": SQL_JACCARD_NGRAM,
     "sim_topk": SQL_SIM_TOPK,
     "textstats": SQL_TEXTSTATS,
     "lang_distribution": SQL_LANG_DISTRIBUTION,

@@ -61,6 +61,38 @@ def test_minhash_finds_planted_neardups(spark, docs):
     assert all(isinstance(a, int) for a, _ in found)
 
 
+def test_jaccard_ngram_exact_recall_and_stop_shingle_bound(spark, docs):
+    """Exhaustive rare-shingle Jaccard finds every planted near-dup
+    (exact recall, superset of LSH), and the stop-shingle cap prunes
+    boilerplate: a shingle shared by >cap docs generates no candidates."""
+    from hmm_crf_ner_fromscratch_spark.operators.dedup import (
+        jaccard_near_duplicates,
+        minhash_near_duplicates,
+    )
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_near_duplicates(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_duplicates(docs, threshold=0.5).collect()
+    }
+    assert lsh <= exact  # exhaustive path never misses an LSH pair
+    assert len(exact) >= 20
+
+    # boilerplate corpus: every doc shares the same 3-token prefix; with
+    # df_cap below the corpus size that shared shingle is a stop-shingle
+    # and no pair clears candidate generation (bounded fan-out)
+    rows = [
+        (i, f"c1 c2 c3 c4 c5 c6 unique{i} tail{i} end{i}") for i in range(30)
+    ]
+    bp = spark.createDataFrame(rows, "doc_id long, text string")
+    assert jaccard_near_duplicates(bp, threshold=0.1, df_cap=20).count() == 0
+    # raising the cap above corpus size re-admits those pairs
+    assert jaccard_near_duplicates(bp, threshold=0.1, df_cap=50).count() > 0
+
+
 def test_exact_and_simhash_duplicates(spark):
     rows = [(0, "a b c d e f"), (1, "a b c d e f"), (2, "totally different words here")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
