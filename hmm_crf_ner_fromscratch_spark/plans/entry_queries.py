@@ -1171,6 +1171,42 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_image_channel_stats(spark, sf_dir):
+    """REAL image decode (PPM/P6, pure-numpy byte parsing -- no codec
+    library) over deterministic md5-raster images: per-asset geometry +
+    exact per-channel means. The DuckDB oracle regenerates every raster
+    byte from the same md5 chain and averages per channel -- the decode
+    kernel is value-verified pixel-for-pixel."""
+    from ..operators.multimodal import decode_image, synth_ppm_assets
+
+    return decode_image(synth_ppm_assets(spark, N_ASSETS, seed=42))
+
+
+def _image_stats_sql() -> str:
+    from ..operators.multimodal import PPM_H, PPM_W
+
+    raster = PPM_W * PPM_H * 3
+    n_blocks = raster // 16
+    per_ch = raster // 3
+    blocks = " || ".join(
+        f"md5('42:{k}:' || CAST(asset_id AS VARCHAR))" for k in range(n_blocks)
+    )
+    chans = ", ".join(
+        f"CAST(sum(CASE WHEN p % 3 = {c} THEN v END) AS DOUBLE) / {per_ch} "
+        f"AS mean_{n}"
+        for c, n in ((0, "r"), (1, "g"), (2, "b"))
+    )
+    return f"""
+WITH a AS (SELECT unnest(generate_series(0, {N_ASSETS - 1})) AS asset_id),
+hx AS (SELECT asset_id, {blocks} AS hexs FROM a),
+byte AS (
+  SELECT asset_id, g.p, ('0x' || substring(hexs, 2 * g.p + 1, 2))::INT AS v
+  FROM hx, LATERAL unnest(generate_series(0, {raster - 1})) AS g(p))
+SELECT asset_id, {PPM_W} AS width, {PPM_H} AS height, {chans}
+FROM byte GROUP BY asset_id
+"""
+
+
 SQL_MULTIMODAL_FEATURES = f"""
 WITH a AS (SELECT unnest(generate_series(0, {N_ASSETS - 1})) AS asset_id),
 hx AS (
@@ -2088,6 +2124,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
+    "image_channel_stats": q_image_channel_stats,
     "word_count": q_word_count,
     "initial_token_count": q_initial_token_count,
     "transition_count": q_transition_count,
@@ -2122,6 +2159,7 @@ ORACLES = {
     "langid_confusion": _langid_sql(),
     "cosine_neardup": SQL_COSINE_NEARDUP,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "image_channel_stats": _image_stats_sql(),
     "ann_lsh_topk": _lsh_sql(),
     "ann_ivf_topk": _ivf_sql(),
     "word_count": SQL_WORD_COUNT,

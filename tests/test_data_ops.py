@@ -93,6 +93,63 @@ def test_jaccard_ngram_exact_recall_and_stop_shingle_bound(spark, docs):
     assert jaccard_near_duplicates(bp, threshold=0.1, df_cap=50).count() > 0
 
 
+def test_ppm_decode_resize_and_frame_sample(spark):
+    """Codec-free multimodal paths are REAL: PPM decode reproduces known
+    pixels, nearest resize preserves corner pixels, and the
+    concatenated-PPM frame sampler recovers per-frame means."""
+    import numpy as np
+
+    from hmm_crf_ner_fromscratch_spark.operators.multimodal import (
+        _parse_ppm,
+        _ppm_header,
+        decode_image,
+        frame_sample,
+        resize_nearest,
+        synth_ppm_assets,
+    )
+
+    assets = synth_ppm_assets(spark, 8, seed=7)
+    rows = {r.asset_id: r for r in decode_image(assets).collect()}
+    raw = {r.asset_id: bytes(r.payload) for r in assets.collect()}
+    assert len(rows) == 8
+    for aid, buf in raw.items():
+        img = _parse_ppm(buf)
+        assert (rows[aid].width, rows[aid].height) == (img.shape[1], img.shape[0])
+        want = img.reshape(-1, 3).astype(np.float64).mean(axis=0)
+        got = (rows[aid].mean_r, rows[aid].mean_g, rows[aid].mean_b)
+        assert np.allclose(got, want, rtol=0, atol=0)
+
+    # nearest resize: output geometry + corner-pixel preservation
+    small = {r.asset_id: bytes(r.payload) for r in resize_nearest(assets, 4, 2).collect()}
+    for aid, buf in small.items():
+        simg = _parse_ppm(buf)
+        assert simg.shape == (2, 4, 3)
+        assert (simg[0, 0] == _parse_ppm(raw[aid])[0, 0]).all()
+
+    # video = 4 concatenated frames; sample every 2nd -> frames 0 and 2
+    f = [raw[i] for i in range(4)]
+    video = spark.createDataFrame(
+        [(100, b"".join(f))], "asset_id long, payload binary"
+    )
+    got = {r.frame_idx: r for r in frame_sample(video, every_n=2).collect()}
+    assert set(got) == {0, 2}
+    for fi in (0, 2):
+        want = _parse_ppm(f[fi]).reshape(-1, 3).astype(np.float64).mean(axis=0)
+        assert np.allclose(
+            (got[fi].mean_r, got[fi].mean_g, got[fi].mean_b), want
+        )
+
+    # compressed formats still refuse loudly (no silent wrong answers)
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(0, b"\x89PNG\r\n\x1a\nrest")], "asset_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="P6|PPM|codec"):
+        decode_image(bad).collect()
+    assert _ppm_header(4, 2) == b"P6\n4 2\n255\n"
+
+
 def test_exact_and_simhash_duplicates(spark):
     rows = [(0, "a b c d e f"), (1, "a b c d e f"), (2, "totally different words here")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
