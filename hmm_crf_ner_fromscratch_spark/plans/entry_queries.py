@@ -1182,6 +1182,41 @@ def q_image_channel_stats(spark, sf_dir):
     return decode_image(synth_ppm_assets(spark, N_ASSETS, seed=42))
 
 
+def q_audio_energy_stats(spark, sf_dir):
+    """REAL audio decode (RIFF/WAVE 16-bit PCM, pure-numpy struct
+    parsing): per-asset sample geometry + exact mean-square energy. The
+    DuckDB oracle regenerates every PCM byte from the md5 chain, decodes
+    little-endian signed 16-bit samples in SQL, and matches to the bit
+    (integer square sums, one double division)."""
+    from ..operators.multimodal import decode_audio, synth_wav_assets
+
+    return decode_audio(synth_wav_assets(spark, N_ASSETS, seed=42))
+
+
+def _audio_stats_sql() -> str:
+    from ..operators.multimodal import WAV_RATE, WAV_SAMPLES
+
+    data_len = WAV_SAMPLES * 2
+    n_blocks = (data_len + 15) // 16
+    blocks = " || ".join(
+        f"md5('42:{k}:' || CAST(asset_id AS VARCHAR))" for k in range(n_blocks)
+    )
+    return f"""
+WITH a AS (SELECT unnest(generate_series(0, {N_ASSETS - 1})) AS asset_id),
+hx AS (SELECT asset_id, {blocks} AS hexs FROM a),
+smp AS (
+  SELECT asset_id,
+         (('0x' || substring(hexs, 4 * g.s + 1, 2))::BIGINT
+          + 256 * ('0x' || substring(hexs, 4 * g.s + 3, 2))::BIGINT) AS u
+  FROM hx, LATERAL unnest(generate_series(0, {WAV_SAMPLES - 1})) AS g(s)),
+sv AS (SELECT asset_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM smp)
+SELECT asset_id, {WAV_RATE} AS sample_rate, {WAV_SAMPLES} AS n_samples,
+       CAST({WAV_SAMPLES} AS DOUBLE) / {WAV_RATE} AS duration_sec,
+       CAST(sum(v * v) AS DOUBLE) / {WAV_SAMPLES} AS energy
+FROM sv GROUP BY asset_id
+"""
+
+
 def _image_stats_sql() -> str:
     from ..operators.multimodal import PPM_H, PPM_W
 
@@ -2125,6 +2160,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
     "image_channel_stats": q_image_channel_stats,
+    "audio_energy_stats": q_audio_energy_stats,
     "word_count": q_word_count,
     "initial_token_count": q_initial_token_count,
     "transition_count": q_transition_count,
@@ -2160,6 +2196,7 @@ ORACLES = {
     "cosine_neardup": SQL_COSINE_NEARDUP,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "image_channel_stats": _image_stats_sql(),
+    "audio_energy_stats": _audio_stats_sql(),
     "ann_lsh_topk": _lsh_sql(),
     "ann_ivf_topk": _ivf_sql(),
     "word_count": SQL_WORD_COUNT,

@@ -150,6 +150,42 @@ def test_ppm_decode_resize_and_frame_sample(spark):
     assert _ppm_header(4, 2) == b"P6\n4 2\n255\n"
 
 
+def test_wav_decode(spark):
+    """RIFF/WAVE PCM decode is real: a hand-built waveform round-trips
+    to its exact geometry and energy; non-RIFF payloads refuse loudly."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from hmm_crf_ner_fromscratch_spark.operators.multimodal import (
+        _wav_header,
+        decode_audio,
+        synth_wav_assets,
+    )
+
+    samples = np.array([0, 100, -100, 32767, -32768, 5], dtype="<i2")
+    payload = _wav_header(len(samples), 8000) + samples.tobytes()
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "asset_id long, payload binary"
+    )
+    r = decode_audio(df).collect()[0]
+    assert (r.sample_rate, r.n_samples) == (8000, 6)
+    want = float((samples.astype(np.int64) ** 2).sum() / 6)
+    assert r.energy == want
+    assert r.duration_sec == 6 / 8000
+
+    # synthetic assets parse through the same path
+    got = decode_audio(synth_wav_assets(spark, 5, seed=3)).collect()
+    assert len(got) == 5 and all(x.n_samples == 192 for x in got)
+
+    bad = spark.createDataFrame(
+        [(0, b"ID3\x03mp3data")], "asset_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="RIFF|WAVE|codec"):
+        decode_audio(bad).collect()
+
+
 def test_exact_and_simhash_duplicates(spark):
     rows = [(0, "a b c d e f"), (1, "a b c d e f"), (2, "totally different words here")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
