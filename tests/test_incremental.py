@@ -4,6 +4,7 @@ convergence to the one-shot result (identical content-defined snapshots).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hmm_crf_ner_fromscratch_spark.operators.hmm import train_hmm
@@ -233,6 +234,61 @@ def test_compaction_preserves_snapshot(spark, tmp_path):
     # content untouched
     assert io.read("s").count() == 3000
     assert io.manifest("s")["snapshot_id"] == snap
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_random_ingest_sequences_converge(spark, english_golden, seed, tmp_path):
+    """Property-style: a random sequence of ingests (each adding new
+    conversations, modifying existing ones, and removing some) always
+    converges to the one-shot snapshots over the final table state."""
+    import random
+
+    rng = random.Random(seed)
+    model = train_hmm(read_conll(spark, english_golden["train"], doc_id="t"))
+    pipe = IncrementalKGPipeline(
+        spark, str(tmp_path / "rnd"), model, salt_bucket=64, n_buckets=8
+    )
+
+    def mk(tag, n, s):
+        return synth_transcripts(spark, n, seed=s).withColumn(
+            "conv_id", F.concat(F.lit(f"{tag}_"), F.col("conv_id"))
+        )
+
+    current = mk("g0", 120, seed).persist()
+    pipe.run(current)
+    for step in range(1, 4):
+        ops = []
+        # add a fresh generation of conversations
+        current = current.unionByName(mk(f"g{step}", 60, seed + step))
+        ops.append("add")
+        convs = [r.conv_id for r in current.select("conv_id").distinct().collect()]
+        if rng.random() < 0.8 and len(convs) > 2:
+            victim = rng.choice(convs)
+            current = current.where(F.col("conv_id") != victim)
+            ops.append(f"remove:{victim}")
+        if rng.random() < 0.8:
+            target = rng.choice(convs)
+            current = current.withColumn(
+                "text",
+                F.when(
+                    F.col("conv_id") == target,
+                    F.concat(F.col("text"), F.lit(" Berlin")),
+                ).otherwise(F.col("text")),
+            )
+            ops.append(f"modify:{target}")
+        current = current.persist()
+        r = pipe.run(current)
+        assert not r.full_load, ops
+
+    oneshot = IncrementalKGPipeline(
+        spark, str(tmp_path / "one"), model, salt_bucket=64, n_buckets=8
+    )
+    r_one = oneshot.run(current)
+    r_last = pipe.run(current)  # no-op pass exposes current snapshots
+    assert r_last.executed == []
+    for stage in ("decoded", "mentions", "triples"):
+        assert r_last.snapshots[stage] == r_one.snapshots[stage], stage
+    assert _edges_set(pipe.io) == _edges_set(oneshot.io)
 
 
 def test_conv_digests_order_insensitive(spark):
