@@ -1,0 +1,81 @@
+"""Operational CLI for checkpointed/incremental KG stage stores.
+
+Usage:
+  python tools/kg_admin.py status  <work_dir>             # stage manifests
+  python tools/kg_admin.py lineage <work_dir> <stage>     # per-file lineage
+  python tools/kg_admin.py audit   <work_dir> <stage>     # full content verify
+  python tools/kg_admin.py compact <work_dir> <stage>     # rewrite small files
+
+`audit` re-reads the stage and re-derives the content checksum (the
+per-commit path is single-pass and does not re-scan); `compact` is the
+rewrite-data-files maintenance job and must preserve the snapshot id.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    cmd, work_dir = sys.argv[1], sys.argv[2]
+    stage = sys.argv[3] if len(sys.argv) > 3 else None
+
+    from hmm_crf_ner_fromscratch_spark.plans.lineage import (
+        ParquetManifestTableIO,
+    )
+    from hmm_crf_ner_fromscratch_spark.session import get_spark
+
+    spark = get_spark(app_name="kg_admin", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    io = ParquetManifestTableIO(spark, work_dir)
+
+    if cmd == "status":
+        for name in sorted(os.listdir(work_dir)):
+            m = io.manifest(name)
+            if m is None:
+                continue
+            print(
+                json.dumps(
+                    {
+                        "stage": name,
+                        "snapshot": m["snapshot_id"],
+                        "rows": m["row_count"],
+                        "files": m["n_files"],
+                        "bucketed": bool(m.get("bucketed")),
+                        "complete": m["complete"],
+                    }
+                )
+            )
+        return 0
+    if stage is None:
+        print(__doc__)
+        return 2
+    if cmd == "lineage":
+        for r in io.lineage(stage).orderBy("file").collect():
+            print(json.dumps({"file": os.path.basename(r.file), "rows": r.rows,
+                              "checksum": r.checksum, "snapshot": r.snapshot_id}))
+        return 0
+    if cmd == "audit":
+        ok = io.audit(stage)
+        print(json.dumps({"stage": stage, "audit": "PASS" if ok else "FAIL"}))
+        return 0 if ok else 1
+    if cmd == "compact":
+        before = io.manifest(stage)["n_files"]
+        snap = io.compact(stage)
+        after = io.manifest(stage)["n_files"]
+        print(json.dumps({"stage": stage, "snapshot": snap,
+                          "files_before": before, "files_after": after}))
+        return 0
+    print(__doc__)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
