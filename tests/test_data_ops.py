@@ -339,8 +339,10 @@ def test_multimodal_features(spark):
     again = {r.asset_id: r.features for r in byte_histogram_features(assets).collect()}
     for r in feats:
         assert again[r.asset_id] == r.features
-    # codec stubs fail loud, not silent
-    with pytest.raises(NotImplementedError):
-        decode_image(assets)
-    with pytest.raises(NotImplementedError):
-        frame_sample(assets)
+    # non-PPM payloads (these md5-blob assets) fail loud at decode time,
+    # not silent -- the decoders are real for PPM/WAV (see
+    # test_ppm_decode_resize_and_frame_sample / test_wav_decode)
+    with pytest.raises(Exception, match="P6|PPM|codec"):
+        decode_image(assets).collect()
+    with pytest.raises(Exception, match="PPM|codec"):
+        frame_sample(assets).collect()
