@@ -119,9 +119,79 @@ class IncrementalKGPipeline:
         d = self._convs_dir()
         if not os.path.isdir(d):
             return None
-        # stored bucket-partitioned (same conv_id hash as the stage
-        # tables) so append ingests can read/write it delta-scoped
-        return self.spark.read.parquet(d).select("conv_id", "digest", "n_turns")
+        # partitioned by the conversation's ASSIGNED data partition
+        # (hash bucket at full load, generation id for appended convs),
+        # so state reads/writes prune to the partitions a delta touches
+        return self.spark.read.parquet(d).select(
+            "conv_id", "digest", "n_turns", F.col(BUCKET_COL).cast("int").alias(BUCKET_COL)
+        )
+
+    def _alloc_generation(self, tx_snap: str) -> int:
+        """Partition id for an ingest's NEW conversations: appended convs
+        land in a FRESH partition (generation) instead of hash-scattering
+        across every bucket -- a broad append therefore writes one new
+        partition dir and touches nothing else. Keyed by the target input
+        snapshot so a crash-resume of the same ingest reuses the same id
+        (stage partition dirs are pre-deleted idempotently on rewrite).
+        """
+        import json
+
+        path = os.path.join(self.io.base_dir, "_generations.json")
+        data = {}
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                data = json.load(f)
+        if tx_snap in data:
+            return int(data[tx_snap])
+        floor = self.n_buckets - 1
+        m = self.io.manifest("decoded")
+        if m and m.get("buckets"):
+            floor = max(floor, max(int(b) for b in m["buckets"]))
+        gen = max([floor] + [int(v) for v in data.values()]) + 1
+        data[tx_snap] = gen
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(data, f)
+        os.replace(tmp, path)
+        return gen
+
+    def _plan_delta(self, changed, removed, prev, tx_snap):
+        """(assignment, affected): target partition per changed conv --
+        existing convs rewrite in place, new convs go to this ingest's
+        generation partition -- plus the partitions a commit touches."""
+        ch = changed.join(
+            prev.select("conv_id", F.col(BUCKET_COL).alias("_old")),
+            "conv_id",
+            "left",
+        ).persist()
+        n_new = ch.where(F.col("_old").isNull()).count()
+        gen = self._alloc_generation(tx_snap) if n_new else None
+        assign = ch.select(
+            "conv_id",
+            F.coalesce("_old", F.lit(gen)).cast("int").alias(BUCKET_COL),
+        ).persist()
+        assign.count()
+        old_b = {
+            int(r._old)
+            for r in ch.select("_old").where(F.col("_old").isNotNull())
+            .distinct()
+            .collect()
+        }
+        ch.unpersist()
+        rm_b = set()
+        if removed is not None:
+            rm_b = {
+                int(r.b)
+                for r in removed.join(
+                    prev.select("conv_id", F.col(BUCKET_COL).alias("b")),
+                    "conv_id",
+                )
+                .select("b")
+                .distinct()
+                .collect()
+            }
+        affected = sorted(old_b | rm_b | ({gen} if gen is not None else set()))
+        return assign, affected
 
     def _decode(self, turns: DataFrame) -> DataFrame:
         salted = salted_turns(tokenize_turns(turns), bucket=self.salt_bucket)
@@ -194,9 +264,11 @@ class IncrementalKGPipeline:
             .select("conv_id")
             .persist()
         )
-        merged_digests = prev.join(
-            digests_delta.select("conv_id"), "conv_id", "left_anti"
-        ).unionByName(digests_delta)
+        merged_digests = (
+            prev.select("conv_id", "digest", "n_turns")
+            .join(digests_delta.select("conv_id"), "conv_id", "left_anti")
+            .unionByName(digests_delta)
+        )
         # full-input snapshot id WITHOUT a full-input scan of the
         # transcripts: the global row XOR is the XOR of per-conversation
         # digests (same hash family as transcripts_snapshot), the row
@@ -206,39 +278,30 @@ class IncrementalKGPipeline:
             F.bit_xor("digest").alias("h"), F.sum("n_turns").alias("n")
         ).first()
         tx_snap = f"tx:{row.h}:{row.n}"
+        assign, affected = self._plan_delta(changed, None, prev, tx_snap)
 
         def commit_digests():
-            # delta-scoped state update: only the buckets owning changed
+            # delta-scoped state update: only the partitions owning changed
             # conversations are rewritten (dynamic partition overwrite);
             # a crash mid-write self-heals -- re-delivery re-detects the
             # not-yet-recorded conversations and stages skip by manifest
-            d_affected = [
-                int(r.b)
-                for r in changed.select(_bucket_expr(self.n_buckets).alias("b"))
-                .distinct()
-                .collect()
-            ]
-            if not d_affected:
+            if not affected:
                 return
-            changed_digests = digests_delta.join(changed, "conv_id", "left_semi")
+            changed_digests = digests_delta.join(
+                assign, "conv_id"
+            ).select("conv_id", "digest", "n_turns", BUCKET_COL)
             retained = (
                 self._prev_digests()
-                .withColumn(BUCKET_COL, _bucket_expr(self.n_buckets))
-                .where(F.col(BUCKET_COL).isin(d_affected))
+                .where(F.col(BUCKET_COL).isin(affected))
                 .join(changed, "conv_id", "left_anti")
+                .select("conv_id", "digest", "n_turns", BUCKET_COL)
             )
-            new_content = (
-                retained.select("conv_id", "digest", "n_turns", BUCKET_COL)
-                .unionByName(
-                    self._with_bucket(changed_digests).select(
-                        "conv_id", "digest", "n_turns", BUCKET_COL
-                    )
-                )
-                .localCheckpoint(eager=True)
+            new_content = retained.unionByName(changed_digests).localCheckpoint(
+                eager=True
             )
             import shutil
 
-            for b in d_affected:
+            for b in affected:
                 stale = os.path.join(self._convs_dir(), f"{BUCKET_COL}={b}")
                 if os.path.isdir(stale):
                     shutil.rmtree(stale)
@@ -258,11 +321,14 @@ class IncrementalKGPipeline:
             delta_tx.join(changed, "conv_id", "left_semi"),
             changed,
             None,
+            assign,
+            affected,
             commit_digests,
             tx_snap,
         )
         digests_delta.unpersist()
         changed.unpersist()
+        assign.unpersist()
         return res
 
     def run(self, transcripts: DataFrame) -> IncrementalResult:
@@ -272,10 +338,9 @@ class IncrementalKGPipeline:
         digests_new = conv_digests(transcripts)
         prev = self._prev_digests()
 
-        def commit_digests():
+        def full_state_write(state_df):
             # full rewrite, atomically swapped (tmp dir + rename)
-            out = self._with_bucket(digests_new)
-            out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+            state_df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
                 self._convs_dir() + "__tmp"
             )
             import shutil
@@ -286,7 +351,13 @@ class IncrementalKGPipeline:
 
         if prev is None:
             return self._run_delta(
-                transcripts, None, None, commit_digests, tx_snap
+                transcripts,
+                None,
+                None,
+                None,
+                None,
+                lambda: full_state_write(self._with_bucket(digests_new)),
+                tx_snap,
             )
 
         joined = digests_new.alias("n").join(
@@ -297,16 +368,44 @@ class IncrementalKGPipeline:
             | (F.col("n.digest") != F.col("p.digest"))
         ).select("conv_id").persist()
         removed = joined.where(F.col("n.digest").isNull()).select("conv_id")
+        assign, affected = self._plan_delta(changed, removed, prev, tx_snap)
+
+        def commit_digests():
+            # unchanged convs keep their recorded partition; changed convs
+            # take the planned assignment (in-place or this ingest's gen)
+            state = (
+                digests_new.join(
+                    prev.select("conv_id", F.col(BUCKET_COL).alias("_pb")),
+                    "conv_id",
+                    "left",
+                )
+                .join(
+                    assign.select("conv_id", F.col(BUCKET_COL).alias("_ab")),
+                    "conv_id",
+                    "left",
+                )
+                .select(
+                    "conv_id",
+                    "digest",
+                    "n_turns",
+                    F.coalesce("_ab", "_pb").cast("int").alias(BUCKET_COL),
+                )
+            )
+            full_state_write(state)
+
         res = self._run_delta(
             # semi-join the input down to the changed conversations; AQE
             # turns this into a broadcast join for small deltas
             transcripts.join(changed, "conv_id", "left_semi"),
             changed,
             removed,
+            assign,
+            affected,
             commit_digests,
             tx_snap,
         )
         changed.unpersist()
+        assign.unpersist()
         return res
 
     def _run_delta(
@@ -314,6 +413,8 @@ class IncrementalKGPipeline:
         delta_tx: DataFrame,
         changed: DataFrame | None,
         removed: DataFrame | None,
+        assign: DataFrame | None,
+        affected: list | None,
         commit_digests,
         tx_snap: str,
     ) -> IncrementalResult:
@@ -322,33 +423,33 @@ class IncrementalKGPipeline:
 
         if changed is None:
             res = IncrementalResult(run_id=new_run_id(), full_load=True)
-            affected = None
             affected_convs = None
         else:
             res = IncrementalResult(run_id=new_run_id(), full_load=False)
             affected_convs = (
                 changed.unionByName(removed) if removed is not None else changed
             ).persist()
-            buckets = [
-                int(r.b)
-                for r in affected_convs.select(
-                    _bucket_expr(self.n_buckets).alias("b")
-                )
-                .distinct()
-                .collect()
-            ]
             res.n_changed = changed.count()
             res.n_removed = removed.count() if removed is not None else 0
-            res.affected_buckets = sorted(buckets)
-            affected = res.affected_buckets
+            res.affected_buckets = list(affected)
+
+        def attach_bucket(df: DataFrame) -> DataFrame:
+            # full load: hash-spread across the base buckets; delta: the
+            # planned per-conversation assignment (in-place for existing
+            # convs, this ingest's generation partition for new ones)
+            if assign is None:
+                return self._with_bucket(df)
+            return df.join(assign, "conv_id")
 
         def merged(stage: str, delta_df: DataFrame) -> DataFrame:
-            """delta rows + retained rows of the affected buckets, i.e. the
-            complete new content of exactly those buckets. localCheckpoint
-            cuts lineage to the stage's own files so the dynamic overwrite
-            does not read from the path it writes (on a cluster: a reliable
-            checkpoint or staging dir)."""
-            delta_b = self._with_bucket(delta_df)
+            """delta rows + retained rows of the affected partitions, i.e.
+            the complete new content of exactly those partitions. A pure
+            append (affected == [gen] with no prior rows there) has an
+            empty retained side -- the commit writes only the delta.
+            localCheckpoint cuts lineage to the stage's own files so the
+            dynamic overwrite does not read from the path it writes (on a
+            cluster: a reliable checkpoint or staging dir)."""
+            delta_b = attach_bucket(delta_df)
             if affected is None:
                 return delta_b
             retained = io.read_buckets(stage, affected).join(
