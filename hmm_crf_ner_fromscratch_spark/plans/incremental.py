@@ -232,6 +232,46 @@ class IncrementalKGPipeline:
         res.snapshots[stage] = snap
         return snap
 
+    def rebalance(self) -> dict:
+        """Maintenance: fold accumulated generation partitions back into
+        the hash-bucket layout (every append batch adds one partition, so
+        a long append chain grows the partition count without bound; this
+        is the partition-level counterpart of ``TableIO.compact``). Full
+        rewrite of each bucketed stage with hash assignment plus a digest
+        -state reassignment; snapshot ids are content-defined and
+        layout-blind, so each stage MUST land on its unchanged snapshot
+        -- enforced, same contract as compaction."""
+        out = {}
+        for stage in ("decoded", "mentions", "triples"):
+            m = self.io.manifest(stage)
+            if not (m and m.get("complete") and m.get("bucketed")):
+                continue
+            df = self._with_bucket(
+                self.io.read(stage).drop(BUCKET_COL)
+            ).localCheckpoint(eager=True)
+            snap = self.io.write_bucketed(
+                stage, df, m["inputs"], m["run_id"] + ".rebalance"
+            )
+            if snap != m["snapshot_id"]:
+                raise RuntimeError(
+                    f"rebalance changed content of {stage}: "
+                    f"{m['snapshot_id']} -> {snap}"
+                )
+            out[stage] = snap
+        prev = self._prev_digests()
+        if prev is not None:
+            state = self._with_bucket(
+                prev.drop(BUCKET_COL)
+            ).localCheckpoint(eager=True)
+            state.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+                self._convs_dir() + "__tmp"
+            )
+            import shutil
+
+            shutil.rmtree(self._convs_dir())
+            os.replace(self._convs_dir() + "__tmp", self._convs_dir())
+        return out
+
     def run_append(self, delta_tx: DataFrame) -> IncrementalResult:
         """CDC/micro-batch ingest: ``delta_tx`` holds the complete current
         turns of SOME conversations (new or updated); everything else is

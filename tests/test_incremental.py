@@ -156,6 +156,21 @@ def test_run_append_matches_full_run(spark, english_golden, tmp_path):
         assert a2.snapshots[stage] == r_one.snapshots[stage], stage
     assert _edges_set(appender.io) == _edges_set(oneshot.io)
 
+    # maintenance: rebalance folds the generation partition back into the
+    # hash layout WITHOUT changing any snapshot; state stays consistent
+    # (a follow-up no-op ingest still skips everything)
+    assert 16 in a2.affected_buckets  # the append created generation 16
+    snaps = appender.rebalance()
+    for stage, s in snaps.items():
+        assert s == a2.snapshots[stage], stage
+    decoded_buckets = {
+        int(b) for b in appender.io.manifest("decoded")["buckets"]
+    }
+    assert max(decoded_buckets) < 16  # generations folded away
+    a4 = appender.run_append(extra)
+    assert a4.executed == []
+    assert _edges_set(appender.io) == _edges_set(oneshot.io)
+
 
 def test_stream_kg_ingest(spark, english_golden, tmp_path):
     """Transcript stream -> foreachBatch -> incremental KG: after two
