@@ -54,6 +54,28 @@ def build_graph(
     """mentions + triples -> (nodes, edges)."""
     cands = candidate_entities(mentions).persist()
     edges_sim = link_edges(cands, threshold=link_threshold)
+    out = materialize_graph(
+        cands,
+        edges_sim,
+        triples,
+        provenance_cap=provenance_cap,
+        check_id_collisions=check_id_collisions,
+    )
+    cands.unpersist()
+    return out
+
+
+def materialize_graph(
+    cands: DataFrame,
+    edges_sim: DataFrame,
+    triples: DataFrame,
+    provenance_cap: int = 20,
+    check_id_collisions: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Canonicalize candidates against link edges and materialize
+    (nodes, edges). Split out of :func:`build_graph` so callers that
+    maintain ``cands``/``edges_sim`` incrementally (block-scoped linking,
+    plans/incremental.py) share the exact same tail."""
     comp = connected_components(edges_sim)
 
     keyed = cands.withColumn(
@@ -80,9 +102,9 @@ def build_graph(
     # CC). Unlike a bare persist(), its blocks are released by the
     # ContextCleaner once the returned frames are garbage-collected, so
     # repeated build_graph calls in a long-lived session don't accumulate
-    # cached blocks; and cands can be dropped as soon as it materializes.
+    # cached blocks; and cands can be dropped as soon as it materializes
+    # (build_graph unpersists its cands right after this returns).
     enriched = keyed.join(canon, "component").localCheckpoint(eager=True)
-    cands.unpersist()
 
     nodes = (
         enriched.groupBy("component", "canonical")

@@ -29,22 +29,24 @@ DEFAULT_THRESHOLD = 0.72
 DEFAULT_MAX_BLOCK = 256
 
 
+def normalize_surface(col):
+    """Lowercase, punctuation-stripped, space-collapsed surface form --
+    the single normalization used by blocking, scoring, and the
+    incremental candidate state."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), r"[^\p{L}\p{Nd} ]", ""), r"\s+", " "
+        )
+    )
+
+
 def candidate_entities(mentions: DataFrame) -> DataFrame:
     """Distinct (entity_type, surface) candidates with mention counts and a
-    normalized form (lowercase, punctuation-stripped, space-collapsed)."""
+    normalized form."""
     return (
         mentions.groupBy("entity_type", "surface")
         .agg(F.count("*").alias("n_mentions"))
-        .withColumn(
-            "normalized",
-            F.trim(
-                F.regexp_replace(
-                    F.regexp_replace(F.lower(F.col("surface")), r"[^\p{L}\p{Nd} ]", ""),
-                    r"\s+",
-                    " ",
-                )
-            ),
-        )
+        .withColumn("normalized", normalize_surface(F.col("surface")))
         .where(F.col("normalized") != "")
     )
 
@@ -60,15 +62,12 @@ def _char_ngrams(col, n: int = 3):
     )
 
 
-def link_edges(
-    cands: DataFrame,
-    threshold: float = DEFAULT_THRESHOLD,
-    max_block: int = DEFAULT_MAX_BLOCK,
-    prefix_len: int = 4,
-) -> DataFrame:
-    """Score blocked candidate pairs; emit edges (src_key, dst_key, score)
-    with ``src_key < dst_key`` (node key = entity_type || '|' || surface)."""
-    base = cands.select(
+def candidate_features(cands: DataFrame) -> DataFrame:
+    """Per-candidate static features for blocking/scoring: key, token set,
+    char-3-gram set. Pure functions of (entity_type, surface) -- a
+    candidate's features never change across ingests, which is what makes
+    block-scoped incremental linking exact."""
+    return cands.select(
         F.concat_ws("|", "entity_type", "surface").alias("key"),
         "entity_type",
         "surface",
@@ -77,22 +76,39 @@ def link_edges(
         F.array_distinct(_char_ngrams(F.col("normalized"))).alias("grams"),
     )
 
+
+def blocked_candidates(base: DataFrame, prefix_len: int = 4) -> DataFrame:
+    """(block, candidate-features) rows: B1 prefix blocks + B2 per-token
+    blocks. Block membership is a pure function of the candidate."""
     prefix_block = base.withColumn(
         "block", F.concat_ws("#", "entity_type", F.substring("normalized", 1, prefix_len))
     )
     token_block = base.withColumn("tok", F.explode("toks")).withColumn(
         "block", F.concat_ws("#", "entity_type", F.lit("t"), "tok")
     ).drop("tok")
-    blocked = prefix_block.unionByName(token_block)
+    return prefix_block.unionByName(token_block)
 
-    # drop degenerate blocks (pair explosion guard)
-    sizes = blocked.groupBy("block").agg(F.count("*").alias("bn"))
-    blocked = blocked.join(
+
+def score_block_pairs(
+    blocked: DataFrame,
+    threshold: float = DEFAULT_THRESHOLD,
+    max_block: int = DEFAULT_MAX_BLOCK,
+    sizes: DataFrame | None = None,
+) -> DataFrame:
+    """Within-block ordered pairs scored by max(token-Jaccard,
+    3-gram-Jaccard, exact-normalized) and thresholded; emits
+    (block, src_key, dst_key, score) WITHOUT cross-block dedup so the
+    result is a pure per-block function (the incremental path unions
+    per-block rows and dedups at consumption). ``sizes`` lets a caller
+    apply the explosion guard against FULL block sizes while scoring only
+    a subset of blocks."""
+    if sizes is None:
+        sizes = blocked.groupBy("block").agg(F.count("*").alias("bn"))
+    guarded = blocked.join(
         sizes.where(F.col("bn") <= max_block).select("block"), "block"
     )
-
-    a = blocked.alias("a")
-    b = blocked.alias("b")
+    a = guarded.alias("a")
+    b = guarded.alias("b")
     pairs = (
         a.join(
             b,
@@ -103,6 +119,7 @@ def link_edges(
         )
         .where(F.col("a.entity_type") == F.col("b.entity_type"))
         .select(
+            F.col("a.block").alias("block"),
             F.col("a.key").alias("src_key"),
             F.col("b.key").alias("dst_key"),
             F.col("a.toks").alias("toks_a"),
@@ -112,7 +129,20 @@ def link_edges(
             F.col("a.normalized").alias("norm_a"),
             F.col("b.normalized").alias("norm_b"),
         )
-        .dropDuplicates(["src_key", "dst_key"])
+        .dropDuplicates(["block", "src_key", "dst_key"])
+    )
+
+    # size-filter pruning (exact): Jaccard(A,B) <= min/max, so a pair can
+    # only clear the threshold via a metric whose set sizes have ratio
+    # >= threshold (or via exact normalized equality). Integer size
+    # comparisons drop most pairs before any array intersection runs.
+    def ratio_ok(na, nb):
+        return F.least(na, nb) >= F.lit(threshold) * F.greatest(na, nb)
+
+    pairs = pairs.where(
+        ratio_ok(F.size("toks_a"), F.size("toks_b"))
+        | ratio_ok(F.size("grams_a"), F.size("grams_b"))
+        | (F.col("norm_a") == F.col("norm_b"))
     )
 
     tok_inter = F.size(F.array_intersect("toks_a", "toks_b"))
@@ -120,6 +150,7 @@ def link_edges(
     gram_inter = F.size(F.array_intersect("grams_a", "grams_b"))
     gram_union = F.size(F.array_union("grams_a", "grams_b"))
     scored = pairs.select(
+        "block",
         "src_key",
         "dst_key",
         F.greatest(
@@ -130,6 +161,21 @@ def link_edges(
         ).alias("score"),
     )
     return scored.where(F.col("score") >= threshold)
+
+
+def link_edges(
+    cands: DataFrame,
+    threshold: float = DEFAULT_THRESHOLD,
+    max_block: int = DEFAULT_MAX_BLOCK,
+    prefix_len: int = 4,
+) -> DataFrame:
+    """Score blocked candidate pairs; emit edges (src_key, dst_key, score)
+    with ``src_key < dst_key`` (node key = entity_type || '|' || surface)."""
+    blocked = blocked_candidates(candidate_features(cands), prefix_len)
+    scored = score_block_pairs(blocked, threshold=threshold, max_block=max_block)
+    return scored.select("src_key", "dst_key", "score").dropDuplicates(
+        ["src_key", "dst_key"]
+    )
 
 
 def tfidf_link_scores(

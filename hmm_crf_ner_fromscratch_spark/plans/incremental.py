@@ -44,8 +44,15 @@ from pyspark.sql import functions as F
 
 from ..functions.crf import CRFModel
 from ..operators.crf import decode_crf
-from ..operators.graph import build_graph
+from ..operators.graph import materialize_graph
 from ..operators.hmm import decode_hmm
+from ..operators.linking import (
+    DEFAULT_MAX_BLOCK,
+    blocked_candidates,
+    candidate_features,
+    normalize_surface,
+    score_block_pairs,
+)
 from ..operators.mentions import extract_mentions
 from ..operators.relations import template_triples
 from ..sources.transcripts import salted_turns, tokenize_turns
@@ -530,14 +537,31 @@ class IncrementalKGPipeline:
                 affected_convs, "conv_id", "left_semi"
             )
 
+        mentions_state: dict = {}
+
+        def compute_mentions():
+            # candidate-state arithmetic needs the counts of the affected
+            # conversations' OLD mention rows, which exist only until this
+            # stage's overwrite -- capture them eagerly first
+            if affected is not None:
+                mentions_state["old_counts"] = (
+                    io.read_buckets("mentions", affected)
+                    .join(affected_convs, "conv_id", "left_semi")
+                    .groupBy("entity_type", "surface")
+                    .agg(F.count(F.lit(1)).alias("n_old"))
+                    .localCheckpoint(eager=True)
+                )
+            delta_m = extract_mentions(delta_decoded(), scheme=self.scheme)
+            if affected is not None:
+                delta_m = delta_m.persist()
+                mentions_state["delta"] = delta_m
+            return merged("mentions", delta_m)
+
         s_men = self._commit(
             res,
             "mentions",
             [s_dec, "scheme:" + self.scheme],
-            lambda: merged(
-                "mentions",
-                extract_mentions(delta_decoded(), scheme=self.scheme),
-            ),
+            compute_mentions,
             affected,
         )
         def delta_mentions() -> DataFrame:
@@ -563,25 +587,238 @@ class IncrementalKGPipeline:
             affected,
         )
 
-        # global stages: linking/CC see every conversation, so they rebuild
-        # from the merged tables (and skip when both inputs are unchanged)
+        # ---- incremental entity linking ----
+        # candidates state: (entity_type, surface, n_mentions), partitioned
+        # by surface hash. Delta path: pure count arithmetic over the
+        # affected conversations' old/new mentions -- O(delta), never a
+        # corpus scan. Resume without the in-memory delta falls back to
+        # the full aggregate (correct, one JVM pass).
+        cand_bucket = F.pmod(
+            F.xxhash64("entity_type", "surface"), F.lit(self.n_buckets)
+        ).cast("int")
+        cand_plan: dict = {}
+        cand_affected = None
+        if (
+            affected is not None
+            and "delta" in mentions_state
+            and not io.is_complete("candidates", [s_men])
+        ):
+            new_counts = (
+                mentions_state["delta"]
+                .groupBy("entity_type", "surface")
+                .agg(F.count(F.lit(1)).alias("n_new"))
+            )
+            delta_counts = (
+                new_counts.join(
+                    mentions_state["old_counts"],
+                    ["entity_type", "surface"],
+                    "full_outer",
+                )
+                .select(
+                    "entity_type",
+                    "surface",
+                    (
+                        F.coalesce("n_new", F.lit(0))
+                        - F.coalesce("n_old", F.lit(0))
+                    ).alias("d"),
+                )
+                .where(F.col("d") != 0)
+                .persist()
+            )
+            cand_affected = sorted(
+                int(r.b)
+                for r in delta_counts.select(cand_bucket.alias("b"))
+                .distinct()
+                .collect()
+            )
+            cand_plan["delta_counts"] = delta_counts
+
+        def compute_candidates():
+            if "delta_counts" not in cand_plan:
+                # full load / resume fallback: one aggregate pass
+                return (
+                    io.read("mentions")
+                    .groupBy("entity_type", "surface")
+                    .agg(F.count(F.lit(1)).alias("n_mentions"))
+                    .withColumn(BUCKET_COL, cand_bucket)
+                )
+            state = io.read_buckets("candidates", cand_affected)
+            # delta-keyed plan: only surfaces with a count delta -- state
+            # rows without one stay in `retained` (and ONLY there)
+            plan = (
+                cand_plan["delta_counts"]
+                .join(
+                    state.select("entity_type", "surface", "n_mentions"),
+                    ["entity_type", "surface"],
+                    "left",
+                )
+                .select(
+                    "entity_type",
+                    "surface",
+                    F.coalesce("n_mentions", F.lit(0)).alias("n_before"),
+                    (
+                        F.coalesce("n_mentions", F.lit(0)) + F.col("d")
+                    ).alias("n_after"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            cand_plan["membership"] = plan
+            retained = state.join(
+                cand_plan["delta_counts"].select("entity_type", "surface"),
+                ["entity_type", "surface"],
+                "left_anti",
+            ).select("entity_type", "surface", "n_mentions", BUCKET_COL)
+            updated = (
+                plan.where(F.col("n_after") > 0)
+                .select(
+                    "entity_type",
+                    "surface",
+                    F.col("n_after").alias("n_mentions"),
+                )
+                .withColumn(BUCKET_COL, cand_bucket)
+            )
+            return retained.unionByName(updated).localCheckpoint(eager=True)
+
+        def one_file_per_bucket(df: DataFrame) -> DataFrame:
+            # the candidate/pair state tables are small relative to the
+            # corpus; one shuffle partition per bucket keeps their file
+            # counts flat across delta commits (read amplification on
+            # these hot tables otherwise grows per ingest)
+            return df.repartition(self.n_buckets, F.col(BUCKET_COL))
+
+        s_cands = self._commit(
+            res,
+            "candidates",
+            [s_men],
+            lambda: one_file_per_bucket(compute_candidates()),
+            cand_affected,
+        )
+
+        def state_candidates() -> DataFrame:
+            """Candidate frame in candidate_entities shape, derived from
+            the committed state (O(candidates), not O(mentions))."""
+            return (
+                io.read("candidates")
+                .withColumn("normalized", normalize_surface(F.col("surface")))
+                .where(F.col("normalized") != "")
+                .select("entity_type", "surface", "n_mentions", "normalized")
+            )
+
+        # link-pairs state: per-block scored pairs, partitioned by block
+        # hash. Pair sets are pure per-block functions of block MEMBERSHIP
+        # (features are static per candidate; counts don't enter scoring),
+        # so only blocks that gained or lost a member need rescoring --
+        # recomputed against FULL block sizes so the explosion guard
+        # behaves exactly as a from-scratch run.
+        pair_bucket = F.pmod(F.xxhash64("block"), F.lit(self.n_buckets)).cast(
+            "int"
+        )
+        pair_affected = None
+        pair_plan: dict = {}
+        if (
+            "membership" in cand_plan
+            and not io.is_complete("link_pairs", [s_cands])
+        ):
+            changed_keys = (
+                cand_plan["membership"]
+                .where((F.col("n_before") > 0) != (F.col("n_after") > 0))
+                .select("entity_type", "surface")
+                .withColumn("normalized", normalize_surface(F.col("surface")))
+                .where(F.col("normalized") != "")
+            )
+            changed_blocks = (
+                blocked_candidates(
+                    candidate_features(
+                        changed_keys.withColumn("n_mentions", F.lit(0))
+                    )
+                )
+                .select("block")
+                .distinct()
+                .persist()
+            )
+            pair_affected = sorted(
+                int(r.b)
+                for r in changed_blocks.select(pair_bucket.alias("b"))
+                .distinct()
+                .collect()
+            )
+            pair_plan["changed_blocks"] = changed_blocks
+
+        def compute_link_pairs():
+            membership = blocked_candidates(
+                candidate_features(state_candidates())
+            )
+            sizes = membership.groupBy("block").agg(F.count(F.lit(1)).alias("bn"))
+            if "changed_blocks" not in pair_plan:
+                scored = score_block_pairs(
+                    membership,
+                    threshold=self.link_threshold,
+                    max_block=DEFAULT_MAX_BLOCK,
+                    sizes=sizes,
+                )
+                return scored.withColumn(BUCKET_COL, pair_bucket)
+            changed_blocks = pair_plan["changed_blocks"]
+            rescored = score_block_pairs(
+                membership.join(changed_blocks, "block", "left_semi"),
+                threshold=self.link_threshold,
+                max_block=DEFAULT_MAX_BLOCK,
+                sizes=sizes,
+            ).withColumn(BUCKET_COL, pair_bucket)
+            retained = io.read_buckets("link_pairs", pair_affected).join(
+                changed_blocks, "block", "left_anti"
+            ).select("block", "src_key", "dst_key", "score", BUCKET_COL)
+            return retained.unionByName(rescored).localCheckpoint(eager=True)
+
+        s_pairs = self._commit(
+            res,
+            "link_pairs",
+            [s_cands],
+            lambda: one_file_per_bucket(compute_link_pairs()),
+            pair_affected,
+        )
+
+        # graph materialization: CC + canonicalization over the maintained
+        # states (cross-candidate by nature -- CC is adaptive and cheap
+        # relative to pair scoring), edge weights aggregated from the
+        # merged triples
         shared: dict = {}
 
         def graph(which: str):
             if "nodes" not in shared:
-                shared["nodes"], shared["edges"] = build_graph(
-                    io.read("mentions").drop(BUCKET_COL),
+                edges_sim = (
+                    io.read("link_pairs")
+                    .select("src_key", "dst_key", "score")
+                    .dropDuplicates(["src_key", "dst_key"])
+                )
+                shared["nodes"], shared["edges"] = materialize_graph(
+                    state_candidates(),
+                    edges_sim,
                     io.read("triples").drop(BUCKET_COL),
-                    link_threshold=self.link_threshold,
                 )
             return shared[which]
 
         self._commit(
-            res, "nodes", [s_men, s_tri], lambda: graph("nodes"), None, bucketed=False
+            res,
+            "nodes",
+            [s_pairs, s_cands, s_tri],
+            lambda: graph("nodes"),
+            None,
+            bucketed=False,
         )
         self._commit(
-            res, "edges", [s_men, s_tri], lambda: graph("edges"), None, bucketed=False
+            res,
+            "edges",
+            [s_pairs, s_cands, s_tri],
+            lambda: graph("edges"),
+            None,
+            bucketed=False,
         )
+        if "delta_counts" in cand_plan:
+            cand_plan["delta_counts"].unpersist()
+        if "changed_blocks" in pair_plan:
+            pair_plan["changed_blocks"].unpersist()
+        if "delta" in mentions_state:
+            mentions_state["delta"].unpersist()
 
         # digest state commits last: a crash before this point replays the
         # same delta on re-run (stages already committed skip via manifests)

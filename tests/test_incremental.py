@@ -69,12 +69,12 @@ def test_incremental_delta_and_convergence(spark, english_golden, tmp_path):
     )
     r1 = inc.run(tx1)
     assert r1.full_load
-    assert r1.executed == ["decoded", "mentions", "triples", "nodes", "edges"]
+    assert r1.executed == ["decoded", "mentions", "triples", "candidates", "link_pairs", "nodes", "edges"]
 
     # no-change re-run: every stage skips, zero decode work
     r1b = inc.run(tx1)
     assert r1b.executed == []
-    assert r1b.skipped == ["decoded", "mentions", "triples", "nodes", "edges"]
+    assert r1b.skipped == ["decoded", "mentions", "triples", "candidates", "link_pairs", "nodes", "edges"]
 
     # ingest 2: only the changed conversations are decoded
     r2 = inc.run(tx2)
@@ -107,7 +107,7 @@ def test_incremental_delta_and_convergence(spark, english_golden, tmp_path):
         spark, str(tmp_path / "oneshot"), model, salt_bucket=64, n_buckets=16
     )
     r_one = oneshot.run(tx2)
-    for stage in ("decoded", "mentions", "triples"):
+    for stage in ("decoded", "mentions", "triples", "candidates", "link_pairs"):
         assert r2.snapshots[stage] == r_one.snapshots[stage], stage
 
     # and the graph matches the batch pipeline on the same input
@@ -146,13 +146,13 @@ def test_run_append_matches_full_run(spark, english_golden, tmp_path):
     # derived input snapshot matches -> every stage skips
     a3 = appender.run_append(extra)
     assert a3.executed == []
-    assert a3.skipped == ["decoded", "mentions", "triples", "nodes", "edges"]
+    assert a3.skipped == ["decoded", "mentions", "triples", "candidates", "link_pairs", "nodes", "edges"]
 
     oneshot = IncrementalKGPipeline(
         spark, str(tmp_path / "one"), model, salt_bucket=64, n_buckets=16
     )
     r_one = oneshot.run(full)
-    for stage in ("decoded", "mentions", "triples"):
+    for stage in ("decoded", "mentions", "triples", "candidates", "link_pairs"):
         assert a2.snapshots[stage] == r_one.snapshots[stage], stage
     assert _edges_set(appender.io) == _edges_set(oneshot.io)
 
@@ -301,7 +301,7 @@ def test_random_ingest_sequences_converge(spark, english_golden, seed, tmp_path)
     r_one = oneshot.run(current)
     r_last = pipe.run(current)  # no-op pass exposes current snapshots
     assert r_last.executed == []
-    for stage in ("decoded", "mentions", "triples"):
+    for stage in ("decoded", "mentions", "triples", "candidates", "link_pairs"):
         assert r_last.snapshots[stage] == r_one.snapshots[stage], stage
     assert _edges_set(pipe.io) == _edges_set(oneshot.io)
 
