@@ -1990,26 +1990,20 @@ def q_kg_incremental(spark, sf_dir):
     ).withColumn("bucket", bucket)
     io.write_bucketed("mentions", m1, ["ingest:1"], "r1")
 
-    # ingest 2: decode ONLY the new conversations; merge into the buckets
-    # they land in (retained rows of those buckets + the delta)
-    delta = decode_and_extract(
-        test.where(batch2), model, key_cols=("conv_id", "turn_idx")
-    ).withColumn("bucket", bucket)
-    affected = sorted(
-        r.bucket for r in delta.select("bucket").distinct().collect()
-    )
-    new_convs = test.where(batch2).select("conv_id").distinct()
-    retained = io.read_buckets("mentions", affected).join(
-        new_convs, "conv_id", "left_anti"
-    )
-    cols = io.manifest("mentions")["columns"] + ["bucket"]
-    merged = (
-        retained.select(*cols)
-        .unionByName(delta.select(*cols))
+    # ingest 2: decode ONLY the new conversations and append them as a
+    # fresh GENERATION partition (id n_buckets) -- a pure append writes
+    # exactly one new partition dir, touching nothing else; the ledger
+    # still folds its content XOR into the same layout-blind snapshot
+    gen = n_buckets
+    delta = (
+        decode_and_extract(
+            test.where(batch2), model, key_cols=("conv_id", "turn_idx")
+        )
+        .withColumn("bucket", F.lit(gen).cast("int"))
         .localCheckpoint(eager=True)
     )
     io.write_bucketed(
-        "mentions", merged, ["ingest:2"], "r2", affected_buckets=affected
+        "mentions", delta, ["ingest:2"], "r2", affected_buckets=[gen]
     )
 
     return _kg_edges_from_mentions(
