@@ -441,6 +441,52 @@ class IcebergTableIO:
         except Exception:
             return False
 
+    # -- bucketed commits: Iceberg-native equivalents --
+    def write_bucketed(
+        self, stage, df, input_snapshots, run_id,
+        affected_buckets=None, bucket_col="bucket",
+    ):
+        """Same contract as ParquetManifestTableIO.write_bucketed, mapped
+        to Iceberg primitives: identity-partition on the bucket column;
+        delta commits use overwritePartitions (Iceberg's dynamic
+        partition overwrite, atomic at the snapshot level -- strictly
+        stronger than the Hive-layout emulation's pre-delete+write)."""
+        name = f"{self.namespace}.{stage}"
+        if affected_buckets is None:
+            df.writeTo(name).using("iceberg").partitionedBy(
+                F.col(bucket_col)
+            ).createOrReplace()
+        else:
+            df.writeTo(name).overwritePartitions()
+        snap = (
+            self.spark.sql(
+                f"SELECT snapshot_id FROM {name}.snapshots ORDER BY committed_at DESC LIMIT 1"
+            ).first()[0]
+        )
+        return str(snap)
+
+    def read_buckets(self, stage, buckets, bucket_col="bucket"):
+        return self.read(stage).where(
+            F.col(bucket_col).isin([int(b) for b in buckets])
+        )
+
+    def compact(self, stage, buckets=None, run_id=None):
+        """Iceberg's own maintenance procedure subsumes the Hive-layout
+        compaction (and preserves logical content by construction)."""
+        catalog = self.namespace.split(".")[0]
+        self.spark.sql(
+            f"CALL {catalog}.system.rewrite_data_files(table => '{self.namespace}.{stage}')"
+        )
+        return self.snapshot_like(stage)
+
+    def snapshot_like(self, stage):
+        name = f"{self.namespace}.{stage}"
+        return str(
+            self.spark.sql(
+                f"SELECT snapshot_id FROM {name}.snapshots ORDER BY committed_at DESC LIMIT 1"
+            ).first()[0]
+        )
+
 
 def make_table_io(spark: SparkSession, base_dir: str):
     """Pick Iceberg when a catalog is configured, else Parquet+manifest."""

@@ -134,8 +134,9 @@ def test_table_io_selection_and_iceberg_contract(spark, tmp_path):
     assert ice.namespace == "ice.kg"
 
     # interface contract: the orchestrator-facing methods exist with
-    # compatible leading parameters on both implementations
-    for meth in ("write", "read", "is_complete"):
+    # compatible leading parameters on both implementations (incl. the
+    # bucketed-commit surface the incremental pipeline uses)
+    for meth in ("write", "read", "is_complete", "write_bucketed", "read_buckets", "compact"):
         p_ice = list(inspect.signature(getattr(IcebergTableIO, meth)).parameters)
         p_par = list(inspect.signature(getattr(ParquetManifestTableIO, meth)).parameters)
         shared = min(len(p_ice), len(p_par))
