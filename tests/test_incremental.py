@@ -246,9 +246,11 @@ def test_compaction_preserves_snapshot(spark, tmp_path):
     assert io.compact("s") == snap
     files_after = glob.glob(str(tmp_path / "t" / "s" / "data" / "bucket=*" / "*.parquet"))
     assert len(files_after) == 4  # one file per bucket
-    # content untouched
+    # content untouched; full-scan audit agrees with the ledger-derived
+    # checksum both before and after the layout change
     assert io.read("s").count() == 3000
     assert io.manifest("s")["snapshot_id"] == snap
+    assert io.audit("s") is True
 
 
 @pytest.mark.parametrize("seed", [3, 11])
