@@ -11,19 +11,28 @@ conversations. This module processes exactly that sliver:
   2. the expensive conversation-local stages (decode -> mentions -> triples)
      run ONLY over changed+new conversations (the Python DP never sees
      unchanged data);
-  3. stage tables are hash-bucketed by conv_id and committed with dynamic
-     partition overwrite, so commit I/O touches only the buckets owning
-     affected conversations (removals empty their rows out of those same
-     buckets);
-  4. nodes/edges recompute globally from the merged mentions/triples --
-     entity linking and connected components are cross-conversation by
-     nature, so there is no conversation-local shortcut (an incremental CC
-     could warm-start from the previous component labels; recompute is the
-     correctness-first default and is the cheap end of the DAG);
+  3. stage tables are partitioned by an ASSIGNED partition recorded per
+     conversation in the digest state -- hash bucket at full load, a fresh
+     GENERATION partition per append batch (a broad append writes exactly
+     one new partition dir; hash-bucketing would scatter it across every
+     bucket). Modifications/removals rewrite only the partitions recorded
+     for the affected conversations (dynamic partition overwrite);
+  4. the graph phase is delta-proportional too: a maintained candidates
+     state advances by count arithmetic over the delta, and per-block
+     link-pair state rescores ONLY blocks whose membership changed
+     (block keys/features are pure functions of the surface; rescoring
+     runs against full block sizes so the explosion guard -- and thus
+     convergence -- is exact). What stays global: CC + canonicalization
+     over the candidate set and the triple-weight aggregate;
   5. snapshot ids stay content-defined through the per-bucket ledger
      (lineage.write_bucketed): a chain of incremental commits converges to
      the IDENTICAL stage snapshot ids a one-shot run over the final input
-     produces -- which is also the property the tests pin.
+     produces -- which is also the property the tests pin, for every
+     bucketed stage including candidates and link_pairs.
+
+Maintenance: `compact()` (TableIO) merges small files within partitions;
+`rebalance()` folds accumulated generations back into the hash layout --
+both snapshot-preserving by construction, and enforced.
 
 Scale notes: the digest diff is one hash-aggregate scan of the input plus a
 join against the stored digest table on conv_id; the delta semi-join is a

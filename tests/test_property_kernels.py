@@ -81,3 +81,33 @@ def test_viterbi_batch_equals_single(data):
     batch = viterbi_batch(E, pi, A)
     for b in range(B):
         assert batch[b].tolist() == viterbi_single(E[b], pi, A).tolist()
+
+
+@given(
+    st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=60),
+    st.integers(min_value=1, max_value=8),
+    st.randoms(use_true_random=False),
+)
+def test_partitioned_xor_equals_global(hashes, n_parts, rng):
+    """The content-defined snapshot invariant: XOR of per-partition XORs
+    equals the global row XOR under ANY partitioning of the rows -- the
+    algebra behind layout-blind snapshot ids (lineage.write_bucketed's
+    per-bucket ledger, incremental/one-shot convergence, compaction and
+    rebalance preserving snapshot ids)."""
+    global_xor = 0
+    for h in hashes:
+        global_xor ^= h
+
+    parts = [[] for _ in range(n_parts)]
+    for h in hashes:
+        parts[rng.randrange(n_parts)].append(h)
+    ledger = []
+    for p in parts:
+        x = 0
+        for h in p:
+            x ^= h
+        ledger.append(x)
+    combined = 0
+    for x in ledger:
+        combined ^= x
+    assert combined == global_xor
