@@ -39,10 +39,34 @@ BENCH_QUERIES = [
 ]
 
 
+LOAD_WARN = 2.0  # 1-min load above this at start -> numbers are suspect
+LOAD_WAIT_SEC = 120  # grace window to let a transient spike drain
+
+
+def _wait_for_idle() -> float:
+    """Return the 1-min load at (re)start; wait up to LOAD_WAIT_SEC for it
+    to drop below LOAD_WARN so BENCH artifacts can't silently publish
+    load-polluted numbers (BENCH_r02.json recorded a 10x-distorted
+    decode_fused exactly this way). If the box never goes idle, proceed --
+    the recorded load_start flags the artifact as suspect."""
+    deadline = time.time() + LOAD_WAIT_SEC
+    load1 = os.getloadavg()[0]
+    while load1 > LOAD_WARN and time.time() < deadline:
+        print(f"# WARNING: 1-min load {load1:.2f} > {LOAD_WARN}; waiting for idle box",
+              file=sys.stderr)
+        time.sleep(10)
+        load1 = os.getloadavg()[0]
+    if load1 > LOAD_WARN:
+        print(f"# WARNING: benchmarking under external load {load1:.2f}; "
+              "timings in this artifact are NOT trustworthy", file=sys.stderr)
+    return load1
+
+
 def main() -> None:
     from hmm_crf_ner_fromscratch_spark.plans.entry_queries import QUERIES
     from hmm_crf_ner_fromscratch_spark.session import get_spark
 
+    load_start = _wait_for_idle()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -120,6 +144,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "decode_tokens_per_sec": decode_tps,
+                # self-defending artifact: load>LOAD_WARN at start means the
+                # numbers are polluted by external processes, not the engine
+                "load_start": round(load_start, 2),
+                "load_end": round(os.getloadavg()[0], 2),
             }
         )
     )

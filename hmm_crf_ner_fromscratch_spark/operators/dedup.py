@@ -62,14 +62,27 @@ def minhash_near_duplicates(
     band_size: int = BAND_SIZE,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for LSH-candidate pairs clearing the exact
-    Jaccard threshold."""
-    sh = shingle_sets(df, text_col, id_col).persist()
-    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    minhashes = ex.groupBy("doc_id").agg(
+    Jaccard threshold.
+
+    No caching: the shingle frame is larger than the input (n-gram
+    expansion), so persisting it at corpus scale spills more than the
+    narrow per-row recompute costs (split + slice, no shuffle). Minhash
+    signatures come from ``array_min`` over the per-row shingle array --
+    zero shuffles until the band self-join -- rather than an
+    explode + groupBy pass (min over the same distinct set, identical
+    values, one whole shuffle cheaper)."""
+    sh = shingle_sets(df, text_col, id_col)
+    minhashes = sh.select(
+        "doc_id",
         *[
-            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")).cast("binary"))).alias(f"h{j}")
+            F.array_min(
+                F.transform(
+                    "shingles",
+                    lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s).cast("binary")),
+                )
+            ).alias(f"h{j}")
             for j in range(n_hashes)
-        ]
+        ],
     )
     bands = minhashes.select(
         "doc_id",
@@ -137,8 +150,13 @@ def jaccard_near_duplicates(
     those pairs overlap on text every >df_cap documents repeat.
     Complement to minhash_near_duplicates: exact among rare-shingle
     pairs vs probabilistic-but-cheaper banding.
+
+    Uncached by design (same rationale as minhash_near_duplicates): the
+    shingle frame exceeds input size, so recomputing the narrow
+    projection on each of its consumers beats spilling a persisted copy,
+    and leaves no persisted blocks behind in long-lived sessions.
     """
-    sh = shingle_sets(df, text_col, id_col).persist()
+    sh = shingle_sets(df, text_col, id_col)
     ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
     rare = (
         ex.groupBy("sh")

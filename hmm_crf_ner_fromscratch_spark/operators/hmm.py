@@ -115,12 +115,20 @@ def _first_seen(col_pos: str = "pos") -> F.Column:
     return F.min(F.struct(F.col("sent_id"), F.col(col_pos))).alias("first_seen")
 
 
-def train_hmm(sentences: DataFrame) -> HMMModel:
+def train_hmm(sentences: DataFrame, max_model_rows: int = 50_000_000) -> HMMModel:
     """Estimate an HMM from ``DataFrame[doc_id?, sent_id, tokens, tags]``.
 
     All counting is distributed (hash aggregates with map-side partial
     aggregation); only count tables sized by vocab/tag cardinality are
     collected. Reference semantics: ``hmm_ner.py:9-124``.
+
+    ``max_model_rows`` bounds the driver collect: the model has
+    K*V + K + K^2 + V count rows (K*V emission pairs dominate -- V=10M,
+    K=9 is ~2.4 GB driver-side per docs/SCALE.md), and an open-vocabulary
+    100 TB corpus could push that past driver memory. Rather than OOM
+    mid-collect, the count job fetches at most ``max_model_rows + 1``
+    rows and raises a sized error when the cap is exceeded -- the fix at
+    that scale is vocabulary pruning upstream, not a bigger driver.
 
     Note: first-occurrence index order is only well defined for a corpus
     with a global sentence order, i.e. a single ``doc_id`` (matching the
@@ -181,11 +189,21 @@ def train_hmm(sentences: DataFrame) -> HMMModel:
             )
         )
     )
+    # limit(cap+1) keeps this a single job: under the cap it returns every
+    # row; over it we get cap+1 arbitrary rows and refuse loudly.
     rows = (
         unified.groupBy("kind", "k1", "k2")
         .agg(F.count("*").alias("cnt"), _first_seen())
+        .limit(max_model_rows + 1)
         .collect()
     )
+    if len(rows) > max_model_rows:
+        raise ValueError(
+            f"HMM model exceeds max_model_rows={max_model_rows}: the corpus has "
+            "more distinct (tag, word) / transition rows than the driver-side "
+            "model budget allows. Prune the vocabulary (e.g. min-frequency "
+            "filter on tokens) or raise max_model_rows explicitly."
+        )
     word_rows = [r for r in rows if r.kind == "w"]
     tag_rows = [r for r in rows if r.kind == "t"]
     init_rows = [r for r in rows if r.kind == "i"]

@@ -346,3 +346,38 @@ def test_multimodal_features(spark):
         decode_image(assets).collect()
     with pytest.raises(Exception, match="PPM|codec"):
         frame_sample(assets).collect()
+
+
+def test_dedup_leaves_no_persisted_blocks(spark, docs):
+    """Round-2 VERDICT defect: minhash/jaccard persisted the shingle frame
+    and never released it, leaking cached blocks in long-lived sessions.
+    The fix removed caching entirely (the shingle frame is bigger than the
+    input; narrow recompute beats spilling it), so after both operators
+    fully materialize, the only persisted RDDs are ones the test session
+    itself owns (the module-scoped `docs` fixture)."""
+    from hmm_crf_ner_fromscratch_spark.operators.dedup import (
+        jaccard_near_duplicates,
+    )
+
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    minhash_near_duplicates(docs, threshold=0.5).count()
+    jaccard_near_duplicates(docs, threshold=0.5).count()
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    leaked = after - before
+    assert not leaked, f"dedup operators leaked persisted RDDs: {leaked}"
+
+
+def test_train_hmm_model_row_cap(spark):
+    """train_hmm must refuse loudly (not OOM) when the distinct model rows
+    exceed max_model_rows."""
+    from hmm_crf_ner_fromscratch_spark.operators.hmm import train_hmm
+
+    sents = spark.createDataFrame(
+        [("d", i, ["alpha", "beta", f"w{i}"], ["O", "B-X", "O"]) for i in range(30)],
+        "doc_id string, sent_id long, tokens array<string>, tags array<string>",
+    )
+    with pytest.raises(ValueError, match="max_model_rows"):
+        train_hmm(sents, max_model_rows=10)
+    # and an adequate cap still trains fine
+    model = train_hmm(sents, max_model_rows=1_000_000)
+    assert model.B.shape[0] == 2  # two tags
