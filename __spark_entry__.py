@@ -8,10 +8,12 @@ connected components + edge aggregation) on /root/testdata/sf0.001.
 a DuckDB oracle (validated locally with tools/validate_oracles.py) --
 including the flagship KG pipeline and the HMM/CRF/transformer decodes,
 whose oracles replay the model build and Viterbi DP as recursive CTEs
-with pinned float semantics. The single rows-only query is
-``crf_decode_dict`` (its adagrad training trajectory is not
-SQL-expressible; CRF decode itself is oracle-verified via
-``crf_decode_fixed``). The deepest gate remains the bit-match test suite
+with pinned float semantics. As of round 3 every query has a value
+oracle (35/35): ``crf_decode_dict`` decodes with the committed
+quantized Adagrad-trained weights (artifacts/crf_dict_model, built by
+tools/make_crf_dict_artifact.py), so its oracle joins the same weight
+parquet and replays the DP in int64; only the training *trajectory*
+stays pytest-gated. The deepest gate remains the bit-match test suite
 against the reference implementation (tests/test_hmm_parity.py).
 """
 

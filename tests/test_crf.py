@@ -352,3 +352,33 @@ def test_build_obs_lists_equals_obs_string():
         for r, (_, offs, xf) in enumerate(tpls):
             want = [obs_string(words, pos, offs, xf) for pos in range(len(words) + 1)]
             assert got[r] == want, (r, offs, xf, words)
+
+
+def test_committed_dict_artifact_integrity(spark):
+    """The crf_decode_dict oracle rests on the committed quantized
+    artifact: weights must be exact integers within the float32-exact
+    envelope (|wq| <= 512), the parquet sidecar must agree with the
+    npy weights feature-for-feature, and decode with the artifact must
+    emit only artifact tags."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from hmm_crf_ner_fromscratch_spark.functions.crf import CRFModel
+    from hmm_crf_ner_fromscratch_spark.operators.crf import decode_crf
+    from hmm_crf_ner_fromscratch_spark.plans.entry_queries import _CRF_ART_DIR
+
+    model = CRFModel.load(_CRF_ART_DIR)
+    w = model.weights
+    assert np.all(w == np.rint(w)), "artifact weights must be exact integers"
+    assert float(np.max(np.abs(w))) <= 512
+    side = pq.read_table(f"{_CRF_ART_DIR}/weights.parquet").to_pydict()
+    assert len(side["key"]) == model.n_features
+    for key, wq in zip(side["key"], side["wq"]):
+        assert model.weights[model.feature_index[key]] == wq
+
+    test_df = spark.createDataFrame(
+        [("d", ["the", "query", "ran", "a", "scan"])],
+        "doc_id string, tokens array<string>",
+    )
+    tags = decode_crf(test_df, model).first().tags_pred
+    assert set(tags) <= set(model.tags)

@@ -1,0 +1,103 @@
+"""Build the committed trained-CRF decode artifact (round-3 item: make
+crf_decode_dict oracle-verifiable, 35/35).
+
+An Adagrad training *trajectory* is not SQL-expressible, so the oracle
+strategy is: train once here (deterministic full-batch run over the
+sf0.01 dictionary-tagged sample, exactly the recipe q_crf_decode_dict
+used through round 2), quantize the learned weights to exact integers
+(largest power-of-two scale keeping |wq| <= 512 -- the same exact-in-
+float32 envelope crf_decode_fixed's md5 weights live in), and commit:
+
+* ``hmm_crf_ner_fromscratch_spark/artifacts/crf_dict_model/`` -- the
+  CRFModel (weights.npy + meta.json) the Spark query decodes with;
+* ``.../crf_dict_model/weights.parquet`` -- single-file parquet of
+  (key: string, wq: int64) for the DuckDB oracle to join against.
+
+Decode correctness then IS SQL-checkable: integer arithmetic end to end
+on both engines, first-index tie-breaks, same recursive-CTE DP as
+crf_decode_fixed. Training itself stays pytest-gated (finite-difference
+gradient checks, convergence tests in tests/test_crf.py).
+
+Usage: python tools/make_crf_dict_artifact.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pyarrow as pa  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+TRAIN_SF = "/root/testdata/sf0.01"
+ART_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "hmm_crf_ner_fromscratch_spark", "artifacts", "crf_dict_model",
+)
+MAX_ABS_WQ = 512  # keeps every DP partial sum exact in float32
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from hmm_crf_ner_fromscratch_spark.operators.crf import (
+        build_registry,
+        train_crf,
+    )
+    from hmm_crf_ner_fromscratch_spark.plans.entry_queries import (
+        OBJ_WORDS,
+        OP_WORDS,
+        _toks,
+    )
+    from hmm_crf_ner_fromscratch_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else TRAIN_SF
+    spark = get_spark(app_name="make-crf-dict-artifact")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tagged = _toks(spark, sf_dir).where(F.size("toks") <= 40).select(
+        "doc_id",
+        F.col("doc_id").alias("sent_id"),
+        F.col("toks").alias("tokens"),
+        F.transform(
+            "toks",
+            lambda w: F.when(w.isin(OP_WORDS), "B-OP")
+            .when(w.isin(OBJ_WORDS), "B-OBJ")
+            .otherwise("O"),
+        ).alias("tags"),
+    )
+    train = tagged.where(F.col("doc_id") % 37 == 1).persist()
+    registry = build_registry(train)
+    model, losses = train_crf(
+        train, model=registry, epochs=3, lr=1.0, optimizer="adagrad"
+    )
+    train.unpersist()
+    print(f"trained: {model.n_features} features, losses={losses}")
+
+    w = model.weights.astype(np.float64)
+    maxabs = float(np.max(np.abs(w))) or 1.0
+    scale = 2.0 ** math.floor(math.log2(MAX_ABS_WQ / maxabs))
+    wq = np.rint(w * scale).astype(np.int64)
+    assert int(np.max(np.abs(wq))) <= MAX_ABS_WQ, (scale, maxabs)
+    print(f"quantized: scale={scale}, max|wq|={int(np.max(np.abs(wq)))}, "
+          f"nonzero={int(np.count_nonzero(wq))}/{len(wq)}")
+
+    model.weights = wq.astype(np.float32)
+    model.save(ART_DIR)
+
+    keys = [None] * model.n_features
+    for key, fid in model.feature_index.items():
+        keys[fid] = key
+    table = pa.table({"key": pa.array(keys, pa.string()),
+                      "wq": pa.array(wq, pa.int64())})
+    pq.write_table(table, os.path.join(ART_DIR, "weights.parquet"))
+    print(f"artifact written to {ART_DIR} (tags={model.tags})")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
