@@ -74,6 +74,18 @@ def word_shape(w: str) -> str:
     return "".join(out)
 
 
+# Process-global word -> cluster-bitstring maps for the ``cluster:NAME``
+# xform. The maps travel WITH the model (CRFModel.cluster_maps) and are
+# (re)registered by DecodeTables/_TrainTables init in each worker
+# process, so kernel-built and Spark-built feature keys agree.
+CLUSTER_MAPS: dict[str, dict[str, str]] = {}
+
+
+def register_cluster_maps(maps: dict[str, dict[str, str]] | None) -> None:
+    if maps:
+        CLUSTER_MAPS.update(maps)
+
+
 def apply_xform(word: str, xform: str) -> str:
     if xform == "w":
         return word
@@ -85,6 +97,18 @@ def apply_xform(word: str, xform: str) -> str:
         return word[: int(xform[3:])]
     if xform.startswith("suf"):
         return word[-int(xform[3:]):]
+    if xform.startswith("cluster:"):
+        # BOS/EOS padding stays itself (boundary info beats a shared
+        # <unk> bucket); out-of-vocabulary words share one <unk> class.
+        if word in ("BOS", "EOS"):
+            return word
+        m = CLUSTER_MAPS.get(xform[8:])
+        if m is None:
+            raise ValueError(
+                f"cluster map {xform[8:]!r} not registered -- decode/train "
+                "with a model whose cluster_maps carries it"
+            )
+        return m.get(word, "<unk>")
     raise ValueError(f"unknown xform {xform!r}")
 
 
@@ -114,6 +138,27 @@ EXTENDED_U_TEMPLATES: list[tuple[str, tuple[int, ...], str]] = (
         ("UX2", (0,), "suf2"), ("UX3", (0,), "suf3"), ("UX4", (0,), "suf4"),
     ]
 )
+
+
+def cluster_u_templates(
+    map_names: tuple[str, ...] = ("c4", "c6", "c10"),
+) -> list[tuple[str, tuple[int, ...], str]]:
+    """EXTENDED_U_TEMPLATES plus Brown-cluster features at several
+    hierarchy granularities (the Koo/Turian recipe: cluster-id unigrams
+    over a -1..+1 window per prefix length, plus a local bigram at the
+    coarsest level). ``map_names`` must match keys of the model's
+    cluster_maps."""
+    tpls = list(EXTENDED_U_TEMPLATES)
+    for name in map_names:
+        xf = f"cluster:{name}"
+        tpls += [
+            (f"UK{name}a", (-1,), xf),
+            (f"UK{name}b", (0,), xf),
+            (f"UK{name}c", (1,), xf),
+        ]
+    tpls.append((f"UK{map_names[0]}d", (-1, 0), f"cluster:{map_names[0]}"))
+    tpls.append((f"UK{map_names[0]}e", (0, 1), f"cluster:{map_names[0]}"))
+    return tpls
 
 
 def word_at(words: list[str], idx: int) -> str:
@@ -154,6 +199,10 @@ class CRFModel:
     # EXTENDED_U_TEMPLATES at registry-build time.
     u_templates: list = None
     b_templates: list = None
+    # word -> cluster-bitstring maps backing any ``cluster:NAME`` xform in
+    # the templates (Brown-style classes from operators/clusters.py);
+    # carried by the model so decode is self-contained.
+    cluster_maps: dict = None
 
     def __post_init__(self):
         if self.weights is None:
@@ -161,6 +210,7 @@ class CRFModel:
         self.weights = np.asarray(self.weights, dtype=np.float32)
         self.u_templates = normalize_templates(self.u_templates or U_TEMPLATES)
         self.b_templates = normalize_templates(self.b_templates or B_TEMPLATES)
+        register_cluster_maps(self.cluster_maps)
 
     @property
     def n_features(self) -> int:
@@ -180,6 +230,8 @@ class CRFModel:
             "u_templates": [[p, list(o), x] for p, o, x in self.u_templates],
             "b_templates": [[p, list(o), x] for p, o, x in self.b_templates],
         }
+        if self.cluster_maps:
+            meta["cluster_maps"] = self.cluster_maps
         with open(os.path.join(path, "meta.json"), "w", encoding="utf-8") as f:
             json.dump(meta, f)
 
@@ -206,6 +258,9 @@ class DecodeTables:
     vectorized decode; mirrors the reference's accumulation structure."""
 
     def __init__(self, model: CRFModel):
+        # broadcast unpickle does not re-run __post_init__, so worker
+        # processes (re)register the model's cluster maps here
+        register_cluster_maps(model.cluster_maps)
         K = len(model.tags)
         self.K = K
         self.tags = model.tags

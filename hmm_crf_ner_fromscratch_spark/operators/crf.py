@@ -102,11 +102,18 @@ def _context_frame(sentences: DataFrame, xform_pairs: tuple = ()) -> DataFrame:
     out = body.unionByName(stop)
     for off, xf in xform_pairs:
         base_col = _OFF_COL[off]
-        out = out.withColumn(f"{base_col}__{xf}", _xform_col(xf, F.col(base_col)))
+        out = out.withColumn(
+            f"{base_col}__{_xf_colname(xf)}", _xform_col(xf, F.col(base_col))
+        )
     return out
 
 
 _OFF_COL = {-2: "w_m2", -1: "w_m1", 0: "w_0", 1: "w_p1", 2: "w_p2"}
+
+
+def _xf_colname(xf: str) -> str:
+    """Column-safe xform name ('cluster:c4' -> 'cluster_c4')."""
+    return xf.replace(":", "_")
 
 
 def _xform_col(xf: str, col):
@@ -129,7 +136,21 @@ def _xform_col(xf: str, col):
 def _xform_udf(xf: str):
     from pyspark.sql.types import StringType
 
-    from ..functions.crf import apply_xform
+    from ..functions.crf import CLUSTER_MAPS, apply_xform
+
+    if xf.startswith("cluster:"):
+        # capture the driver-registered map into the closure -- executor
+        # processes import functions.crf fresh with an empty registry, so
+        # the dict must travel with the UDF (it's vocab-sized, a few MB)
+        cmap = dict(CLUSTER_MAPS[xf[8:]])
+
+        @F.pandas_udf(StringType())
+        def _cudf(col: pd.Series) -> pd.Series:
+            return col.map(
+                lambda w: w if w in ("BOS", "EOS") else cmap.get(w, "<unk>")
+            )
+
+        return _cudf
 
     @F.pandas_udf(StringType())
     def _udf(col: pd.Series) -> pd.Series:
@@ -139,7 +160,7 @@ def _xform_udf(xf: str):
 
 
 def _obs_col(offsets: tuple[int, ...], xform: str = "w"):
-    suffix = "" if xform == "w" else f"__{xform}"
+    suffix = "" if xform == "w" else f"__{_xf_colname(xform)}"
     return F.concat_ws("/", *[F.col(_OFF_COL[o] + suffix) for o in offsets])
 
 
@@ -324,6 +345,11 @@ class _TrainTables:
     """Reverse indexes (rule, obs) -> feature ids for gradient gather."""
 
     def __init__(self, model: CRFModel):
+        from ..functions.crf import register_cluster_maps
+
+        # worker processes rebuild tables from the broadcast model; the
+        # cluster maps behind any cluster: xform must ride along
+        register_cluster_maps(model.cluster_maps)
         self.model = model
         self.tags = model.tags
         self.u_templates = model.u_templates

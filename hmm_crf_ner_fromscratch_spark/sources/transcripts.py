@@ -54,6 +54,7 @@ def synth_transcripts(
     seed: int = 42,
     eval_sentences: list[str] | None = None,
     n_convs: int | None = None,
+    heaps_vocab: float = 0.0,
 ) -> DataFrame:
     """Deterministic synthetic transcript table of exactly the input_hint
     shape, generated distributively.
@@ -63,6 +64,18 @@ def synth_transcripts(
     conversation 0 holds ~2/n of all turns at any scale -- a reproducible
     skew fixture. ``eval_sentences`` (if given) are appended as dedicated
     eval conversations (250 turns each), text verbatim.
+
+    ``heaps_vocab`` > 0 turns on Heaps-law vocabulary growth: roughly one
+    word in four is replaced by an entity-like token ``Ent<id>`` drawn
+    uniformly from an id range that grows with the absolute turn index as
+    ``floor(heaps_vocab * (i+1)^0.7)`` -- so the number of DISTINCT
+    surfaces in the corpus grows sublinearly with corpus size, the way
+    real transcript corpora grow entity vocabulary (Heaps' law, beta ~
+    0.7). The default 0.0 keeps the bounded filler vocabulary (round-2
+    behavior). This is the fixture for the incremental-linking crossover
+    measurement (tools/bench_crossover.py): bounded vocab makes full
+    rescoring corpus-independent; Heaps vocab makes it grow while
+    delta-scoped rescoring tracks only changed blocks.
     """
     if n_convs is None:
         n_convs = max(4, int(n_turns**0.5))
@@ -79,15 +92,29 @@ def synth_transcripts(
     h = F.xxhash64(F.col("i"), F.lit(seed))
     word_pool = F.array(*[F.lit(w) for w in _FILLER_WORDS])
     n_words = F.pmod(F.xxhash64(F.col("i"), F.lit(seed + 1)), F.lit(12)) + 3
+
+    def word_at(k):
+        filler = F.element_at(
+            word_pool,
+            (F.pmod(F.xxhash64(F.col("i"), F.lit(seed + 2), k), F.lit(len(_FILLER_WORDS)))
+             + 1).cast("int"),
+        )
+        if heaps_vocab <= 0:
+            return filler
+        vocab_size = F.greatest(
+            F.lit(1),
+            F.floor(F.lit(heaps_vocab) * F.pow(F.col("i") + 1, F.lit(0.7))),
+        )
+        ent = F.concat(
+            F.lit("Ent"),
+            F.pmod(F.xxhash64(F.col("i"), F.lit(seed + 5), k), vocab_size),
+        )
+        return F.when(
+            F.pmod(F.xxhash64(F.col("i"), F.lit(seed + 4), k), F.lit(4)) == 0, ent
+        ).otherwise(filler)
+
     text = F.array_join(
-        F.transform(
-            F.sequence(F.lit(1), n_words),
-            lambda k: F.element_at(
-                word_pool,
-                (F.pmod(F.xxhash64(F.col("i"), F.lit(seed + 2), k), F.lit(len(_FILLER_WORDS)))
-                 + 1).cast("int"),
-            ),
-        ),
+        F.transform(F.sequence(F.lit(1), n_words), word_at),
         " ",
     )
     role = F.element_at(

@@ -212,7 +212,14 @@ def stream_kg_ingest(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        pipeline.run_append(batch_df.select(*TRANSCRIPT_COLUMNS))
+        # run_append drives several actions over the batch; without a
+        # persist each one re-scans the stream source (visible as
+        # numInputRows = k x batch size in query progress)
+        batch_df = batch_df.persist()
+        try:
+            pipeline.run_append(batch_df.select(*TRANSCRIPT_COLUMNS))
+        finally:
+            batch_df.unpersist()
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

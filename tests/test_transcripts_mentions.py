@@ -161,3 +161,39 @@ def test_extract_mentions_e2e(spark, english_golden):
     decoded.unpersist()
     assert got == want
     assert len(got) > 50
+
+
+def test_heaps_vocab_growth(spark):
+    """heaps_vocab > 0 must make the distinct-token count grow with corpus
+    size (sublinearly, Heaps-style), while the default bounded vocabulary
+    stays flat; generation stays deterministic."""
+    from pyspark.sql import functions as F
+
+    from hmm_crf_ner_fromscratch_spark.sources.transcripts import (
+        synth_transcripts,
+        tokenize_turns,
+    )
+
+    def distinct_tokens(n, heaps):
+        tx = synth_transcripts(spark, n, seed=7, heaps_vocab=heaps)
+        return (
+            tokenize_turns(tx)
+            .select(F.explode("tokens").alias("w"))
+            .agg(F.countDistinct("w"))
+            .first()[0]
+        )
+
+    flat_small, flat_big = distinct_tokens(2000, 0.0), distinct_tokens(8000, 0.0)
+    heaps_small, heaps_big = distinct_tokens(2000, 2.0), distinct_tokens(8000, 2.0)
+    assert flat_big == flat_small  # bounded filler vocabulary
+    # 4x corpus with beta=0.7 -> ~2.6x vocabulary; require clear growth
+    assert heaps_big > heaps_small * 1.8
+    assert heaps_small > flat_small  # entity tokens add vocabulary
+    # determinism
+    a = synth_transcripts(spark, 3000, seed=7, heaps_vocab=2.0).orderBy(
+        "conv_id", "turn_idx"
+    ).collect()
+    b = synth_transcripts(spark, 3000, seed=7, heaps_vocab=2.0).orderBy(
+        "conv_id", "turn_idx"
+    ).collect()
+    assert a == b

@@ -1,0 +1,116 @@
+"""ANN recall/latency tradeoff sweep (round-3 item #7).
+
+Sweeps LSH ``n_planes`` x multi-probe and IVF ``n_clusters`` x
+``n_probe`` at a given sf dir, reporting recall@10 vs the brute-force
+cosine baseline plus wall time per configuration. Emits one JSON line
+per config to stdout and a markdown table to stderr for
+BENCH/BASELINE.md.
+
+Recall@10 = |approx top-10 ∩ exact top-10| / 10, averaged over the
+query set (the standard ANN-benchmarks metric).
+
+Usage: python tools/bench_ann.py [sf_dir] [n_queries]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from hmm_crf_ner_fromscratch_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+    from hmm_crf_ner_fromscratch_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    k = 10
+
+    spark = get_spark(app_name="bench-ann")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    n_vecs = emb.count()
+    query_ids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(n_queries).collect()]
+
+    def truth():
+        t0 = time.time()
+        rows = brute_force_topk(emb, query_ids, k=k).collect()
+        sec = time.time() - t0
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return by_q, sec
+
+    exact, brute_sec = truth()
+    # second run = steady-state latency (JIT/broadcast warm)
+    _, brute_sec_warm = truth()
+
+    def recall(rows) -> float:
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        vals = [
+            len(by_q.get(q, set()) & exact[q]) / len(exact[q]) for q in exact
+        ]
+        return sum(vals) / len(vals)
+
+    results = []
+
+    def run(label, params, fn):
+        fn().count()  # warm (plan compile + broadcast); timing is 2nd run
+        t0 = time.time()
+        rows = fn().collect()
+        sec = round(time.time() - t0, 2)
+        rec = round(recall(rows), 4)
+        results.append({"config": label, **params, "recall_at_10": rec, "sec": sec})
+        print(json.dumps(results[-1]), flush=True)
+
+    for n_planes in (4, 6, 8, 10, 12):
+        for mp in (False, True):
+            run(
+                f"lsh planes={n_planes} probe={'h1' if mp else 'exact-bucket'}",
+                {"kind": "lsh", "n_planes": n_planes, "multi_probe": mp},
+                lambda n_planes=n_planes, mp=mp: lsh_topk(
+                    emb, query_ids, k=k, n_planes=n_planes, multi_probe=mp
+                ),
+            )
+    for n_clusters in (8, 16, 32):
+        for n_probe in (1, 2, 4):
+            run(
+                f"ivf cells={n_clusters} probe={n_probe}",
+                {"kind": "ivf", "n_clusters": n_clusters, "n_probe": n_probe},
+                lambda n_clusters=n_clusters, n_probe=n_probe: ivf_topk(
+                    emb, query_ids, k=k, n_clusters=n_clusters, n_probe=n_probe
+                ),
+            )
+
+    hdr = {
+        "n_vecs": n_vecs,
+        "n_queries": n_queries,
+        "k": k,
+        "brute_force_sec_cold": round(brute_sec, 2),
+        "brute_force_sec_warm": round(brute_sec_warm, 2),
+        "load_start": round(os.getloadavg()[0], 2),
+    }
+    print(json.dumps({"meta": hdr}), flush=True)
+
+    print("\n| config | recall@10 | sec |", file=sys.stderr)
+    print("|---|---|---|", file=sys.stderr)
+    print(f"| brute force (exact) | 1.0 | {hdr['brute_force_sec_warm']} |", file=sys.stderr)
+    for r in results:
+        print(f"| {r['config']} | {r['recall_at_10']} | {r['sec']} |", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

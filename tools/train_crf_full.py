@@ -62,6 +62,22 @@ def main():
         from hmm_crf_ner_fromscratch_spark.functions.crf import EXTENDED_U_TEMPLATES
 
         registry = build_registry(train, u_templates=EXTENDED_U_TEMPLATES)
+    elif mode == "cluster":
+        from hmm_crf_ner_fromscratch_spark.functions.crf import (
+            cluster_u_templates,
+            register_cluster_maps,
+        )
+        from hmm_crf_ner_fromscratch_spark.operators.clusters import (
+            prefix_maps,
+            train_word_clusters,
+        )
+
+        bits = train_word_clusters(train)
+        cmaps = prefix_maps(bits, lengths=(4, 6, 10))
+        register_cluster_maps(cmaps)
+        print(f"clusters: V={len(bits)}, {time.time()-t0:.0f}s", flush=True)
+        registry = build_registry(train, u_templates=cluster_u_templates())
+        registry.cluster_maps = cmaps
     else:
         registry = build_registry(train)
     print(
