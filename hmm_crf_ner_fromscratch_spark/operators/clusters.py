@@ -68,6 +68,20 @@ def context_counts(
     vocab_rows = words.where(F.col("cnt") >= min_count).collect()
     words.unpersist()
 
+    pair_rows = context_pair_counts(toks, ctx_words).limit(max_rows + 1).collect()
+    if len(pair_rows) > max_rows:
+        raise ValueError(
+            f"context-count collect exceeds max_rows={max_rows}; raise "
+            "min_count / lower n_context to shrink the vocab-side table"
+        )
+    return pair_rows, vocab_rows, ctx_words
+
+
+def context_pair_counts(toks: DataFrame, ctx_words: list[str]) -> DataFrame:
+    """The distributed core: (w, d, c, cnt) directional co-occurrence
+    counts with contexts restricted to ``ctx_words`` + BOS/EOS. One
+    explode + one hash aggregate (map-side combined); oracle-checkable
+    SQL semantics (entry query ``cluster_context_counts``)."""
     ex = toks.select("t", F.posexplode("t").alias("i", "w"))
     pairs = ex.select(
         "w",
@@ -80,7 +94,7 @@ def context_counts(
         .alias("next"),
     )
     ctx_set = sorted(set(ctx_words) | {"BOS", "EOS"})
-    long_pairs = (
+    return (
         pairs.select("w", F.lit("L").alias("d"), F.col("prev").alias("c"))
         .unionByName(
             pairs.select("w", F.lit("R").alias("d"), F.col("next").alias("c"))
@@ -89,15 +103,7 @@ def context_counts(
         .where(F.col("c").isin(ctx_set))
         .groupBy("w", "d", "c")
         .agg(F.count("*").alias("cnt"))
-        .limit(max_rows + 1)
     )
-    pair_rows = long_pairs.collect()
-    if len(pair_rows) > max_rows:
-        raise ValueError(
-            f"context-count collect exceeds max_rows={max_rows}; raise "
-            "min_count / lower n_context to shrink the vocab-side table"
-        )
-    return pair_rows, vocab_rows, ctx_words
 
 
 def _ppmi_matrix(pair_rows, vocab, ctx_index):

@@ -2183,11 +2183,61 @@ FROM tri GROUP BY 1, 2, 3
 """
 
 
+N_CLUSTER_CTX = 30
+
+
+def q_cluster_context_counts(spark, sf_dir):
+    """Distributed core of the Brown-style word clustering
+    (operators/clusters.py::context_pair_counts): directional
+    co-occurrence counts against the top-N_CLUSTER_CTX context words
+    (ties broken lexicographically) plus BOS/EOS. The driver-side
+    bisecting k-means that consumes these counts is pytest-gated
+    (tests/test_clusters.py -- deterministic, class-separating); the
+    corpus-scale arithmetic is what this oracle pins."""
+    from ..operators.clusters import context_pair_counts
+
+    toks = _toks(spark, sf_dir).select(F.col("toks").alias("t"))
+    words = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ctx_words = [
+        r.w
+        for r in words.orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(N_CLUSTER_CTX)
+        .collect()
+    ]
+    return context_pair_counts(toks, ctx_words)
+
+
+def _cluster_context_counts_sql() -> str:
+    return f"""
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+wc AS (SELECT unnest(t) AS w FROM toks),
+ctx AS (
+  SELECT w FROM (SELECT w, count(*) AS cnt FROM wc GROUP BY w)
+  ORDER BY cnt DESC, w ASC LIMIT {N_CLUSTER_CTX}),
+ex AS (
+  SELECT t[i] AS w, i, len(t) AS n, t
+  FROM (SELECT t, unnest(generate_series(1, len(t))) AS i FROM toks)),
+pairs AS (
+  SELECT w, 'L' AS d, CASE WHEN i = 1 THEN 'BOS' ELSE t[i - 1] END AS c FROM ex
+  UNION ALL
+  SELECT w, 'R' AS d, CASE WHEN i = n THEN 'EOS' ELSE t[i + 1] END AS c FROM ex)
+SELECT w, d, c, count(*) AS cnt
+FROM pairs
+WHERE c IN (SELECT w FROM ctx) OR c IN ('BOS', 'EOS')
+GROUP BY w, d, c
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
 
 QUERIES = {
+    "cluster_context_counts": q_cluster_context_counts,
     "simhash": q_simhash,
     "winnow_fingerprints": q_winnow_fingerprints,
     "bpe_token_counts": q_bpe_token_counts,
@@ -2226,6 +2276,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cluster_context_counts": _cluster_context_counts_sql(),
     "simhash": SQL_SIMHASH,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
