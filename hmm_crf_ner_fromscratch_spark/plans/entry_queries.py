@@ -1553,7 +1553,7 @@ def q_crf_decode_fixed(spark, sf_dir):
     ).select("doc_id", "pos", F.col("wt.word").alias("word"), F.col("wt.tag").alias("tag"))
 
 
-def _crf_decode_sql(mode: str = "fixed") -> str:
+def _crf_decode_sql(mode: str = "fixed", emit: str = "decode") -> str:
     """SQL mirror of q_crf_decode_fixed / q_crf_decode_dict.
 
     ``mode='fixed'`` rebuilds: (1) the gold-path feature registry over
@@ -1724,7 +1724,7 @@ bpsl AS (
 bpel AS (
   SELECT ti.idx AS i, {md5w("'B:' || ti.tag || '_<STOP>'")} AS wv FROM tagidx ti)"""
 
-    return f"""
+    body = f"""
 WITH RECURSIVE
 {prelude},
 model AS (
@@ -1791,13 +1791,47 @@ win AS (
   FROM dp
   JOIN boepiv ev ON ev.doc_id = dp.doc_id
   CROSS JOIN model m
-  WHERE dp.t = dp.n - 1)
+  WHERE dp.t = dp.n - 1)"""
+
+    decode_select = """
 SELECT w.doc_id, CAST(gs.i - 1 AS INT) AS pos, t.toks[gs.i] AS word,
        ti.tag AS tag
 FROM win w
 JOIN tst t ON t.doc_id = w.doc_id,
 LATERAL unnest(generate_series(1, len(w.path))) AS gs(i)
 JOIN tagidx ti ON ti.idx = w.path[gs.i]
+"""
+    if emit == "decode":
+        return body + decode_select
+
+    # emit == "edges": the CRF decode becomes the mention-detection stage
+    # of the KG tail (single-token BIO spans -> adjacency triples ->
+    # md5-keyed edge aggregation), mirroring _kg_pipeline_sql's tail.
+    # Canonicalization: singleton components on this corpus (see
+    # _kg_pipeline_sql docstring) -- node ids resolve from surfaces.
+    node_id = "('0x' || substring(md5({t} || '|' || {s}), 1, 15))::BIGINT"
+    return body + f""",
+outp AS ({decode_select}),
+men AS (
+  SELECT d.source AS conv_id, CAST(o.doc_id AS INT) AS turn_idx,
+         o.pos AS span_start, o.pos + 1 AS span_end,
+         substring(o.tag, 3) AS entity_type, o.word AS surface
+  FROM outp o JOIN documents d ON d.doc_id = o.doc_id
+  WHERE o.tag <> 'O'),
+tri AS (
+  SELECT a.entity_type AS subj_type, a.surface AS subj,
+         CASE WHEN a.entity_type = 'OP' AND b.entity_type = 'OBJ' THEN 'operates_on'
+              WHEN a.entity_type = 'OBJ' AND b.entity_type = 'OP' THEN 'feeds'
+              ELSE 'adjacent_to' END AS pred,
+         b.entity_type AS obj_type, b.surface AS obj
+  FROM men a JOIN men b
+    ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx
+   AND b.span_start = a.span_end)
+SELECT {node_id.format(t="subj_type", s="subj")} AS src,
+       pred,
+       {node_id.format(t="obj_type", s="obj")} AS dst,
+       CAST(count(*) AS DOUBLE) AS weight
+FROM tri GROUP BY 1, 2, 3
 """
 
 
@@ -2183,6 +2217,33 @@ FROM tri GROUP BY 1, 2, 3
 """
 
 
+def q_kg_pipeline_crf(spark, sf_dir):
+    """The north-star names BOTH sequence labelers as mention-detection
+    stages; this is the CRF-stage variant of the flagship: committed
+    trained-CRF decode (artifacts/crf_dict_model) -> fused span assembly
+    -> adjacency triples -> md5-keyed edge aggregation, oracle-verified
+    end to end (the DuckDB mirror replays the integer-weight DP then the
+    same KG tail)."""
+    from ..functions.crf import CRFModel
+    from ..operators.fused import decode_and_extract_crf
+
+    model = CRFModel.load(_CRF_ART_DIR)
+    test = (
+        _toks(spark, sf_dir)
+        .where(F.size("toks") <= 40)
+        .where(F.col("doc_id") % 37 == 0)
+        .select(
+            F.col("source").alias("conv_id"),
+            F.col("doc_id").cast("int").alias("turn_idx"),
+            F.col("toks").alias("tokens"),
+        )
+    )
+    mentions = decode_and_extract_crf(
+        test, model, key_cols=("conv_id", "turn_idx")
+    ).localCheckpoint()
+    return _kg_edges_from_mentions(mentions)
+
+
 N_CLUSTER_CTX = 30
 
 
@@ -2238,6 +2299,7 @@ GROUP BY w, d, c
 
 QUERIES = {
     "cluster_context_counts": q_cluster_context_counts,
+    "kg_pipeline_crf": q_kg_pipeline_crf,
     "simhash": q_simhash,
     "winnow_fingerprints": q_winnow_fingerprints,
     "bpe_token_counts": q_bpe_token_counts,
@@ -2312,6 +2374,7 @@ ORACLES = {
     # weights (artifacts/crf_dict_model), so its oracle joins the same
     # weight parquet and replays the DP in int64
     "crf_decode_dict": _crf_decode_sql("artifact"),
+    "kg_pipeline_crf": _crf_decode_sql("artifact", emit="edges"),
     "transformer_decode": _transformer_decode_sql(),
     "kg_pipeline": _kg_pipeline_sql(),
     # the incremental ingest chain must converge to the one-shot result,
