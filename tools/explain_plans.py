@@ -76,6 +76,18 @@ EXPECTATIONS = {
         "join fan-out); exact confirm joins the pre-aggregated shingle sets "
         "by doc id (no per-pair re-shingling)."
     ),
+    "cluster_context_counts": (
+        "Scan reads ONLY the text column; union of L/R pair projections is "
+        "narrow (no shuffle before the single hash aggregate); the context "
+        "filter compiles to an InSet predicate BEFORE the exchange so only "
+        "pairs with retained contexts shuffle; partial aggregation map-side."
+    ),
+    "kg_pipeline_crf": (
+        "One python (ArrowEvalPython/mapInPandas) stage for the fused "
+        "decode+extract; the adjacency window is a single per-(conv,turn) "
+        "sort; edge aggregation is one shuffle; the committed model rides a "
+        "broadcast, not a join."
+    ),
     "kg_incremental": (
         "Final-edges plan over the MERGED bucketed stage table: the scan "
         "shows the bucket partition column (Hive layout) and the upstream "
