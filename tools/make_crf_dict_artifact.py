@@ -2,9 +2,12 @@
 crf_decode_dict oracle-verifiable, 35/35).
 
 An Adagrad training *trajectory* is not SQL-expressible, so the oracle
-strategy is: train once here (deterministic full-batch run over the
-sf0.01 dictionary-tagged sample, exactly the recipe q_crf_decode_dict
-used through round 2), quantize the learned weights to exact integers
+strategy is: train once here (full-batch run over the sf0.01
+dictionary-tagged sample, exactly the recipe q_crf_decode_dict used
+through round 2 -- note the distributed float64 gradient reduce means a
+REGENERATED artifact can differ in low-order bits; the committed
+artifact is canonical, not the regeneration), quantize the learned
+weights to exact integers
 (largest power-of-two scale keeping |wq| <= 512 -- the same exact-in-
 float32 envelope crf_decode_fixed's md5 weights live in), and commit:
 
