@@ -142,12 +142,15 @@ EXTENDED_U_TEMPLATES: list[tuple[str, tuple[int, ...], str]] = (
 
 def cluster_u_templates(
     map_names: tuple[str, ...] = ("c4", "c6", "c10"),
+    include_bigrams: bool = True,
 ) -> list[tuple[str, tuple[int, ...], str]]:
     """EXTENDED_U_TEMPLATES plus Brown-cluster features at several
     hierarchy granularities (the Koo/Turian recipe: cluster-id unigrams
-    over a -1..+1 window per prefix length, plus a local bigram at the
-    coarsest level). ``map_names`` must match keys of the model's
-    cluster_maps."""
+    over a -1..+1 window per prefix length, optionally plus local
+    bigrams at the coarsest level -- bigrams add a large sparse cross
+    product; measured to destabilize full-batch Adagrad on CoNLL, see
+    BENCH/BASELINE.md quality runs). ``map_names`` must match keys of
+    the model's cluster_maps."""
     tpls = list(EXTENDED_U_TEMPLATES)
     for name in map_names:
         xf = f"cluster:{name}"
@@ -156,8 +159,9 @@ def cluster_u_templates(
             (f"UK{name}b", (0,), xf),
             (f"UK{name}c", (1,), xf),
         ]
-    tpls.append((f"UK{map_names[0]}d", (-1, 0), f"cluster:{map_names[0]}"))
-    tpls.append((f"UK{map_names[0]}e", (0, 1), f"cluster:{map_names[0]}"))
+    if include_bigrams:
+        tpls.append((f"UK{map_names[0]}d", (-1, 0), f"cluster:{map_names[0]}"))
+        tpls.append((f"UK{map_names[0]}e", (0, 1), f"cluster:{map_names[0]}"))
     return tpls
 
 

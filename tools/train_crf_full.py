@@ -72,11 +72,28 @@ def main():
             train_word_clusters,
         )
 
-        bits = train_word_clusters(train)
-        cmaps = prefix_maps(bits, lengths=(4, 6, 10))
+        # cluster hyperparameters via env (positional argv is full)
+        min_count = int(os.environ.get("CLUSTER_MIN_COUNT", "1"))
+        depth = int(os.environ.get("CLUSTER_DEPTH", "10"))
+        grans = tuple(
+            int(g)
+            for g in os.environ.get("CLUSTER_GRANULARITIES", "4,6,10").split(",")
+        )
+        bigrams = os.environ.get("CLUSTER_BIGRAMS", "1") == "1"
+        bits = train_word_clusters(train, min_count=min_count, depth=depth)
+        cmaps = prefix_maps(bits, lengths=grans)
         register_cluster_maps(cmaps)
-        print(f"clusters: V={len(bits)}, {time.time()-t0:.0f}s", flush=True)
-        registry = build_registry(train, u_templates=cluster_u_templates())
+        print(
+            f"clusters: V={len(bits)}, min_count={min_count}, depth={depth}, "
+            f"grans={grans}, bigrams={bigrams}, {time.time()-t0:.0f}s",
+            flush=True,
+        )
+        registry = build_registry(
+            train,
+            u_templates=cluster_u_templates(
+                tuple(f"c{g}" for g in grans), include_bigrams=bigrams
+            ),
+        )
         registry.cluster_maps = cmaps
     else:
         registry = build_registry(train)
