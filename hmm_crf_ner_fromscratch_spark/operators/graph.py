@@ -65,6 +65,24 @@ def build_graph(
     return out
 
 
+def triple_counts_from_triples(
+    triples: DataFrame, provenance_cap: int = 20
+) -> DataFrame:
+    """Aggregate raw triples to the surface-level count state the graph
+    tail consumes: one row per (subj_type, subj, pred, obj_type, obj)
+    with exact count ``n`` and a capped provenance sample. This is the
+    table plans/incremental.py maintains by delta arithmetic so the
+    edges stage never rescans the full triples table."""
+    return triples.groupBy(
+        "subj_type", "subj", "pred", "obj_type", "obj"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.slice(
+            F.collect_list(F.struct("conv_id", "turn_idx")), 1, provenance_cap
+        ).alias("prov"),
+    )
+
+
 def materialize_graph(
     cands: DataFrame,
     edges_sim: DataFrame,
@@ -73,9 +91,31 @@ def materialize_graph(
     check_id_collisions: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Canonicalize candidates against link edges and materialize
-    (nodes, edges). Split out of :func:`build_graph` so callers that
-    maintain ``cands``/``edges_sim`` incrementally (block-scoped linking,
-    plans/incremental.py) share the exact same tail."""
+    (nodes, edges). Thin wrapper: aggregates triples to counts first
+    (also a win for the batch path -- the resolution joins and edge
+    aggregate then run over distinct triple keys, not raw triples)."""
+    return materialize_graph_from_counts(
+        cands,
+        edges_sim,
+        triple_counts_from_triples(triples, provenance_cap),
+        provenance_cap=provenance_cap,
+        check_id_collisions=check_id_collisions,
+    )
+
+
+def materialize_graph_from_counts(
+    cands: DataFrame,
+    edges_sim: DataFrame,
+    triple_counts: DataFrame,
+    provenance_cap: int = 20,
+    check_id_collisions: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Graph tail over the aggregated triple-count state (see
+    :func:`triple_counts_from_triples`). Split out of
+    :func:`build_graph` so callers that maintain ``cands`` /
+    ``edges_sim`` / ``triple_counts`` incrementally (block-scoped
+    linking + count arithmetic, plans/incremental.py) share the exact
+    same canonicalization and aggregation."""
     comp = connected_components(edges_sim)
 
     keyed = cands.withColumn(
@@ -143,7 +183,7 @@ def materialize_graph(
     # TOOL subjects (R2 triples) have no mention-candidate entry; they get
     # their own stable ids.
     resolved = (
-        triples.join(r_subj, ["subj_type", "subj"], "left")
+        triple_counts.join(r_subj, ["subj_type", "subj"], "left")
         .join(r_obj, ["obj_type", "obj"], "left")
         .withColumn(
             "src",
@@ -157,11 +197,9 @@ def materialize_graph(
     edges = (
         resolved.groupBy("src", "pred", "dst")
         .agg(
-            F.count("*").cast("double").alias("weight"),
+            F.sum("n").cast("double").alias("weight"),
             F.slice(
-                F.collect_list(F.struct("conv_id", "turn_idx")),
-                1,
-                provenance_cap,
+                F.flatten(F.collect_list("prov")), 1, provenance_cap
             ).alias("provenance"),
         )
     )
@@ -173,8 +211,9 @@ def materialize_graph(
             F.col("subj").alias("canonical"),
             F.lit("TOOL").alias("entity_type"),
             F.array(F.col("subj")).alias("aliases"),
+            F.col("n"),
         )
         .groupBy("node_id", "canonical", "entity_type")
-        .agg(F.first("aliases").alias("aliases"), F.count("*").alias("n_mentions"))
+        .agg(F.first("aliases").alias("aliases"), F.sum("n").alias("n_mentions"))
     )
     return nodes.unionByName(tool_nodes), edges

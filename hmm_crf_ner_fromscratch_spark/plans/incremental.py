@@ -18,12 +18,15 @@ conversations. This module processes exactly that sliver:
      bucket). Modifications/removals rewrite only the partitions recorded
      for the affected conversations (dynamic partition overwrite);
   4. the graph phase is delta-proportional too: a maintained candidates
-     state advances by count arithmetic over the delta, and per-block
+     state advances by count arithmetic over the delta, per-block
      link-pair state rescores ONLY blocks whose membership changed
      (block keys/features are pure functions of the surface; rescoring
      runs against full block sizes so the explosion guard -- and thus
-     convergence -- is exact). What stays global: CC + canonicalization
-     over the candidate set and the triple-weight aggregate;
+     convergence -- is exact), and a maintained triple-count state
+     advances by the same count arithmetic so edge weights never rescan
+     the triples table. What stays global: CC + canonicalization over
+     the candidate set, and the final nodes/edges aggregates -- both
+     bounded by DISTINCT entities/triple keys, not corpus size;
   5. snapshot ids stay content-defined through the per-bucket ledger
      (lineage.write_bucketed): a chain of incremental commits converges to
      the IDENTICAL stage snapshot ids a one-shot run over the final input
@@ -53,7 +56,10 @@ from pyspark.sql import functions as F
 
 from ..functions.crf import CRFModel
 from ..operators.crf import decode_crf
-from ..operators.graph import materialize_graph
+from ..operators.graph import (
+    materialize_graph_from_counts,
+    triple_counts_from_triples,
+)
 from ..operators.hmm import decode_hmm
 from ..operators.linking import (
     DEFAULT_MAX_BLOCK,
@@ -70,6 +76,10 @@ from .pipeline import _model_fingerprint, transcripts_snapshot
 
 BUCKET_COL = "bucket"
 DIGEST_COLS = ("conv_id", "turn_idx", "role", "text")
+# triple-count state key + provenance sample bound (operators/graph.py)
+_TRIPLE_KEY = ("subj_type", "subj", "pred", "obj_type", "obj")
+_PROV_DDL = "array<struct<conv_id:string,turn_idx:int>>"
+PROVENANCE_CAP = 20
 
 
 def conv_digests(transcripts: DataFrame) -> DataFrame:
@@ -583,17 +593,159 @@ class IncrementalKGPipeline:
                 affected_convs, "conv_id", "left_semi"
             )
 
+        triples_state: dict = {}
+
+        def compute_triples():
+            # triple-count arithmetic needs the affected conversations' OLD
+            # triple rows, which exist only until this stage's overwrite --
+            # capture their per-key counts eagerly first (same pattern as
+            # the mentions/candidates state)
+            if affected is not None:
+                triples_state["old_counts"] = (
+                    io.read_buckets("triples", affected)
+                    .join(affected_convs, "conv_id", "left_semi")
+                    .groupBy(*_TRIPLE_KEY)
+                    .agg(F.count(F.lit(1)).alias("n_old"))
+                    .localCheckpoint(eager=True)
+                )
+            delta_t = template_triples(
+                delta_mentions(), cross_turn_window=self.cross_turn_window
+            )
+            if affected is not None:
+                delta_t = delta_t.persist()
+                triples_state["delta"] = delta_t
+            return merged("triples", delta_t)
+
         s_tri = self._commit(
             res,
             "triples",
             [s_men, f"w:{self.cross_turn_window}"],
-            lambda: merged(
-                "triples",
-                template_triples(
-                    delta_mentions(), cross_turn_window=self.cross_turn_window
-                ),
-            ),
+            compute_triples,
             affected,
+        )
+
+        def one_file_per_bucket(df: DataFrame) -> DataFrame:
+            # the maintained state tables (triple counts / candidates /
+            # link pairs) are small relative to the corpus; one shuffle
+            # partition per bucket keeps their file counts flat across
+            # delta commits (read amplification on these hot tables
+            # otherwise grows per ingest)
+            return df.repartition(self.n_buckets, F.col(BUCKET_COL))
+
+        # ---- triple-count state: (subj_type, subj, pred, obj_type, obj)
+        # -> exact count + capped provenance sample, partitioned by key
+        # hash. Maintained by count arithmetic over the delta (O(delta),
+        # never a triples-table scan), so the graph tail below reads a
+        # state table bounded by DISTINCT triple keys instead of rescanning
+        # every triple ever ingested -- the stage that otherwise grows
+        # linearly with corpus size under sustained appends (measured:
+        # micro-batch latency 60 s -> 184 s across 10 x 50k-turn batches
+        # before this state existed; see BENCH/BASELINE.md round 3).
+        # Provenance contract: counts are exact; the per-key sample keeps
+        # up to provenance_cap supporting turns, entries of replaced
+        # conversations filtered for TOUCHED keys. Untouched keys may
+        # retain pointers into superseded turns of OTHER conversations'
+        # edits (refreshable via a compact-style resample); weights and
+        # membership are unaffected.
+        tc_bucket = F.pmod(
+            F.xxhash64(*_TRIPLE_KEY), F.lit(self.n_buckets)
+        ).cast("int")
+        tc_plan: dict = {}
+        tc_affected = None
+        if (
+            affected is not None
+            and "delta" in triples_state
+            and not io.is_complete("triple_counts", [s_tri])
+        ):
+            new_counts = (
+                triples_state["delta"]
+                .groupBy(*_TRIPLE_KEY)
+                .agg(
+                    F.count(F.lit(1)).alias("n_new"),
+                    F.slice(
+                        F.collect_list(F.struct("conv_id", "turn_idx")),
+                        1,
+                        PROVENANCE_CAP,
+                    ).alias("prov_new"),
+                )
+            )
+            touched = (
+                new_counts.join(
+                    triples_state["old_counts"], list(_TRIPLE_KEY), "full_outer"
+                )
+                .select(
+                    *_TRIPLE_KEY,
+                    (
+                        F.coalesce("n_new", F.lit(0))
+                        - F.coalesce("n_old", F.lit(0))
+                    ).alias("d"),
+                    F.coalesce(
+                        "prov_new", F.expr(f"CAST(array() AS {_PROV_DDL})")
+                    ).alias("prov_new"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            tc_affected = sorted(
+                int(r.b)
+                for r in touched.select(tc_bucket.alias("b")).distinct().collect()
+            )
+            tc_plan["touched"] = touched
+
+        def compute_triple_counts():
+            if "touched" not in tc_plan:
+                # full load / resume fallback: one aggregate pass
+                return triple_counts_from_triples(
+                    io.read("triples").drop(BUCKET_COL), PROVENANCE_CAP
+                ).withColumn(BUCKET_COL, tc_bucket)
+            state = io.read_buckets("triple_counts", tc_affected)
+            key = list(_TRIPLE_KEY)
+            touched = tc_plan["touched"]
+            retained = state.join(touched.select(*key), key, "left_anti").select(
+                *key, "n", "prov", BUCKET_COL
+            )
+            # retained provenance of touched keys, minus entries pointing
+            # into the replaced conversations (explode-join: O(touched
+            # keys x cap), no driver-side conv list)
+            kept_prov = (
+                state.join(touched.select(*key), key, "left_semi")
+                .select(*key, F.explode("prov").alias("e"))
+                .join(
+                    affected_convs,
+                    F.col("e.conv_id") == affected_convs["conv_id"],
+                    "left_anti",
+                )
+                .groupBy(*key)
+                .agg(F.collect_list("e").alias("prov_kept"))
+            )
+            empty = F.expr(f"CAST(array() AS {_PROV_DDL})")
+            upd = (
+                touched.join(
+                    state.select(*key, F.col("n").alias("n_before")), key, "left"
+                )
+                .join(kept_prov, key, "left")
+                .select(
+                    *key,
+                    (F.coalesce("n_before", F.lit(0)) + F.col("d")).alias("n"),
+                    F.slice(
+                        F.concat(
+                            F.coalesce("prov_kept", empty),
+                            F.col("prov_new"),
+                        ),
+                        1,
+                        PROVENANCE_CAP,
+                    ).alias("prov"),
+                )
+                .where(F.col("n") > 0)
+                .withColumn(BUCKET_COL, tc_bucket)
+            )
+            return retained.unionByName(upd).localCheckpoint(eager=True)
+
+        s_tc = self._commit(
+            res,
+            "triple_counts",
+            [s_tri],
+            lambda: one_file_per_bucket(compute_triple_counts()),
+            tc_affected,
         )
 
         # ---- incremental entity linking ----
@@ -687,13 +839,6 @@ class IncrementalKGPipeline:
                 .withColumn(BUCKET_COL, cand_bucket)
             )
             return retained.unionByName(updated).localCheckpoint(eager=True)
-
-        def one_file_per_bucket(df: DataFrame) -> DataFrame:
-            # the candidate/pair state tables are small relative to the
-            # corpus; one shuffle partition per bucket keeps their file
-            # counts flat across delta commits (read amplification on
-            # these hot tables otherwise grows per ingest)
-            return df.repartition(self.n_buckets, F.col(BUCKET_COL))
 
         s_cands = self._commit(
             res,
@@ -799,17 +944,20 @@ class IncrementalKGPipeline:
                     .select("src_key", "dst_key", "score")
                     .dropDuplicates(["src_key", "dst_key"])
                 )
-                shared["nodes"], shared["edges"] = materialize_graph(
+                # graph tail reads the triple-count STATE (bounded by
+                # distinct triple keys), never the raw triples table
+                shared["nodes"], shared["edges"] = materialize_graph_from_counts(
                     state_candidates(),
                     edges_sim,
-                    io.read("triples").drop(BUCKET_COL),
+                    io.read("triple_counts").drop(BUCKET_COL),
+                    provenance_cap=PROVENANCE_CAP,
                 )
             return shared[which]
 
         self._commit(
             res,
             "nodes",
-            [s_pairs, s_cands, s_tri],
+            [s_pairs, s_cands, s_tc],
             lambda: graph("nodes"),
             None,
             bucketed=False,
@@ -817,7 +965,7 @@ class IncrementalKGPipeline:
         self._commit(
             res,
             "edges",
-            [s_pairs, s_cands, s_tri],
+            [s_pairs, s_cands, s_tc],
             lambda: graph("edges"),
             None,
             bucketed=False,
@@ -828,6 +976,8 @@ class IncrementalKGPipeline:
             pair_plan["changed_blocks"].unpersist()
         if "delta" in mentions_state:
             mentions_state["delta"].unpersist()
+        if "delta" in triples_state:
+            triples_state["delta"].unpersist()
 
         # digest state commits last: a crash before this point replays the
         # same delta on re-run (stages already committed skip via manifests)

@@ -69,12 +69,12 @@ def test_incremental_delta_and_convergence(spark, english_golden, tmp_path):
     )
     r1 = inc.run(tx1)
     assert r1.full_load
-    assert r1.executed == ["decoded", "mentions", "triples", "candidates", "link_pairs", "nodes", "edges"]
+    assert r1.executed == ["decoded", "mentions", "triples", "triple_counts", "candidates", "link_pairs", "nodes", "edges"]
 
     # no-change re-run: every stage skips, zero decode work
     r1b = inc.run(tx1)
     assert r1b.executed == []
-    assert r1b.skipped == ["decoded", "mentions", "triples", "candidates", "link_pairs", "nodes", "edges"]
+    assert r1b.skipped == ["decoded", "mentions", "triples", "triple_counts", "candidates", "link_pairs", "nodes", "edges"]
 
     # ingest 2: only the changed conversations are decoded
     r2 = inc.run(tx2)
@@ -146,7 +146,7 @@ def test_run_append_matches_full_run(spark, english_golden, tmp_path):
     # derived input snapshot matches -> every stage skips
     a3 = appender.run_append(extra)
     assert a3.executed == []
-    assert a3.skipped == ["decoded", "mentions", "triples", "candidates", "link_pairs", "nodes", "edges"]
+    assert a3.skipped == ["decoded", "mentions", "triples", "triple_counts", "candidates", "link_pairs", "nodes", "edges"]
 
     oneshot = IncrementalKGPipeline(
         spark, str(tmp_path / "one"), model, salt_bucket=64, n_buckets=16
