@@ -41,6 +41,36 @@ BENCH_QUERIES = [
 
 LOAD_WARN = 2.0  # 1-min load above this at start -> numbers are suspect
 LOAD_WAIT_SEC = 120  # grace window to let a transient spike drain
+STEAL_WARN_PCT = 5.0  # hypervisor steal above this -> numbers are suspect
+
+
+def _steal_probe(seconds: float = 2.0) -> float:
+    """Percent CPU stolen by the hypervisor while this guest burns all
+    cores -- the pollution loadavg CANNOT see (measured here: an idle
+    guest on a busy host lost 15%+ to steal and benches degraded 2-3x
+    while local load read 0.2). Burn briefly, read /proc/stat deltas."""
+    import multiprocessing as mp
+
+    def burn(stop_t):
+        x = 0
+        while time.time() < stop_t:
+            x += 1
+
+    try:
+        before = open("/proc/stat").readline().split()[1:9]
+        stop = time.time() + seconds
+        procs = [
+            mp.Process(target=burn, args=(stop,)) for _ in range(os.cpu_count())
+        ]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join()
+        after = open("/proc/stat").readline().split()[1:9]
+        d = [int(y) - int(x) for x, y in zip(before, after)]
+        return round(100.0 * d[7] / max(sum(d), 1), 1)
+    except Exception:
+        return -1.0
 
 
 def _wait_for_idle() -> float:
@@ -67,6 +97,10 @@ def main() -> None:
     from hmm_crf_ner_fromscratch_spark.session import get_spark
 
     load_start = _wait_for_idle()
+    steal_pct = _steal_probe()
+    if steal_pct > STEAL_WARN_PCT:
+        print(f"# WARNING: hypervisor steal {steal_pct}% under load; timings "
+              "are degraded by a noisy host neighbor", file=sys.stderr)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -148,6 +182,7 @@ def main() -> None:
                 # numbers are polluted by external processes, not the engine
                 "load_start": round(load_start, 2),
                 "load_end": round(os.getloadavg()[0], 2),
+                "steal_pct": steal_pct,
             }
         )
     )

@@ -91,13 +91,23 @@ def materialize_graph(
     check_id_collisions: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Canonicalize candidates against link edges and materialize
-    (nodes, edges). Thin wrapper: aggregates triples to counts first
-    (also a win for the batch path -- the resolution joins and edge
-    aggregate then run over distinct triple keys, not raw triples)."""
+    (nodes, edges). Thin wrapper over the counts path: raw triples are
+    PROJECTED to unit-count rows (n=1, singleton provenance), NOT
+    pre-aggregated -- sum(1)==count(*) and flatten([e])==collect(e), so
+    semantics are identical while the batch plan keeps its original
+    single edge-aggregate shuffle (a counts pre-agg was measured ~35%
+    slower on the one-shot flagship: it shuffles every provenance
+    struct twice). The incremental pipeline feeds real aggregated
+    counts via materialize_graph_from_counts."""
+    unit = triples.select(
+        "subj_type", "subj", "pred", "obj_type", "obj",
+        F.lit(1).alias("n"),
+        F.array(F.struct("conv_id", "turn_idx")).alias("prov"),
+    )
     return materialize_graph_from_counts(
         cands,
         edges_sim,
-        triple_counts_from_triples(triples, provenance_cap),
+        unit,
         provenance_cap=provenance_cap,
         check_id_collisions=check_id_collisions,
     )
