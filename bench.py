@@ -24,7 +24,9 @@ from pyspark.sql import functions as F  # noqa: E402
 
 BENCH_QUERIES = [
     "kg_pipeline",
+    "kg_pipeline_crf",
     "kg_incremental",
+    "cluster_context_counts",
     "hmm_decode_dict",
     "crf_decode_fixed",
     "transformer_decode",
