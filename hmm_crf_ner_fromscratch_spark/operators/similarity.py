@@ -115,7 +115,7 @@ def lsh_topk(
     emb: DataFrame,
     query_ids,
     k: int = 10,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     dim: int = 64,
     multi_probe: bool = True,
     vec_col: str = "embedding",
@@ -125,7 +125,15 @@ def lsh_topk(
     plus (multi_probe) every bucket at hamming distance 1 -- the standard
     recall lever that avoids building more tables. Recall/latency tradeoff
     via n_planes; same quantized scoring as brute force so results are
-    directly comparable."""
+    directly comparable.
+
+    ``n_planes=None`` sizes planes from the corpus (planes_for_corpus, one
+    count() job) the way cosine_near_duplicates does: the round-3 sweep
+    (BENCH/BASELINE.md) showed a fixed plane count over-partitions small
+    corpora (recall 0.29 at 6 planes / 8k vectors vs 0.48 at 4) and
+    under-partitions large ones (quadratic candidate growth)."""
+    if n_planes is None:
+        n_planes = planes_for_corpus(emb.count())
     base = add_lsh_bucket(quantized(emb, vec_col, id_col), n_planes, dim)
     queries = base.where(F.col("vec_id").isin(list(query_ids))).select(
         F.col("vec_id").alias("query_id"),
