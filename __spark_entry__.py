@@ -9,12 +9,16 @@ a DuckDB oracle (validated locally with tools/validate_oracles.py) --
 including the flagship KG pipeline and the HMM/CRF/transformer decodes,
 whose oracles replay the model build and Viterbi DP as recursive CTEs
 with pinned float semantics. As of round 3 every query has a value
-oracle (35/35): ``crf_decode_dict`` decodes with the committed
+oracle (37/37): ``crf_decode_dict`` decodes with the committed
 quantized Adagrad-trained weights (artifacts/crf_dict_model, built by
 tools/make_crf_dict_artifact.py), so its oracle joins the same weight
-parquet and replays the DP in int64; only the training *trajectory*
-stays pytest-gated. The deepest gate remains the bit-match test suite
-against the reference implementation (tests/test_hmm_parity.py).
+parquet and replays the DP in int64 -- only the training *trajectory*
+stays pytest-gated; ``kg_pipeline_crf`` runs that decode as the KG
+mention-detection stage with the full edges tail mirrored in SQL; and
+``cluster_context_counts`` oracles the distributed core of the
+Brown-style word clustering. The deepest gate remains the bit-match
+test suite against the reference implementation
+(tests/test_hmm_parity.py).
 """
 
 from __future__ import annotations
