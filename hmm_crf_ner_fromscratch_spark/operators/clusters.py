@@ -48,11 +48,17 @@ def context_counts(
     n_context: int = N_CONTEXT,
     min_count: int = 1,
     max_rows: int = 50_000_000,
+    max_vocab: int = 5_000_000,
 ):
     """Distributed part: (word, dir, ctx) -> count rows plus the word and
     context-word frequency tables. Returns (pair_rows, word_counts,
     context_words) as driver-side lists; everything upstream of the
-    bounded collects is hash-aggregated Spark."""
+    bounded collects is hash-aggregated Spark.
+
+    Both driver collects are bounded: the vocab collect via ``max_vocab``
+    and the pair collect via ``max_rows`` -- each a ``limit(cap + 1)`` so
+    an open-vocabulary corpus refuses loudly instead of OOMing the driver
+    (same contract as ``train_hmm(max_model_rows=...)``)."""
     toks = sentences.where(F.size("tokens") > 0).select(
         F.col("tokens").alias("t")
     )
@@ -65,8 +71,15 @@ def context_counts(
         r.w
         for r in words.orderBy(F.desc("cnt"), F.asc("w")).limit(n_context).collect()
     ]
-    vocab_rows = words.where(F.col("cnt") >= min_count).collect()
+    vocab_rows = (
+        words.where(F.col("cnt") >= min_count).limit(max_vocab + 1).collect()
+    )
     words.unpersist()
+    if len(vocab_rows) > max_vocab:
+        raise ValueError(
+            f"cluster vocab exceeds max_vocab={max_vocab}; raise min_count "
+            "to shrink the vocabulary before the driver-side collect"
+        )
 
     pair_rows = context_pair_counts(toks, ctx_words).limit(max_rows + 1).collect()
     if len(pair_rows) > max_rows:
@@ -169,11 +182,16 @@ def train_word_clusters(
     min_count: int = 1,
     depth: int = DEPTH,
     max_rows: int = 50_000_000,
+    max_vocab: int = 5_000_000,
 ) -> dict[str, str]:
     """word -> hierarchical bitstring ('' for words whose context vector
     never separated). Prefixes of the bitstring are coarser clusters."""
     pair_rows, vocab_rows, ctx_words = context_counts(
-        sentences, n_context=n_context, min_count=min_count, max_rows=max_rows
+        sentences,
+        n_context=n_context,
+        min_count=min_count,
+        max_rows=max_rows,
+        max_vocab=max_vocab,
     )
     # pinned processing order: frequency desc then lexicographic
     vocab = [r.w for r in sorted(vocab_rows, key=lambda r: (-r.cnt, r.w))]

@@ -48,6 +48,22 @@ def test_clusters_deterministic_and_separating(spark):
     assert maps["c2"]["apple"] == bits["apple"][:2]
 
 
+def test_cluster_vocab_collect_guard(spark):
+    """The vocab collect must refuse loudly when the vocabulary exceeds
+    max_vocab -- the limit(cap+1) guard fires BEFORE an unbounded driver
+    collect can OOM (same contract as train_hmm's max_model_rows)."""
+    import pytest
+
+    from hmm_crf_ner_fromscratch_spark.operators.clusters import context_counts
+
+    corpus = _tiny_corpus(spark)  # vocab size 12 > cap 4
+    with pytest.raises(ValueError, match="max_vocab"):
+        context_counts(corpus, n_context=10, max_vocab=4)
+    # and an adequate cap still returns the full vocab
+    _, vocab_rows, _ = context_counts(corpus, n_context=10, max_vocab=100)
+    assert len(vocab_rows) == 12
+
+
 def test_cluster_features_spark_vs_kernel_keys(spark):
     """The registry built Spark-side (pandas-UDF cluster columns) must
     contain exactly the keys the Python kernel generates -- the same
