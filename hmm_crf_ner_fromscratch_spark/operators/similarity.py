@@ -265,6 +265,36 @@ def _assign_cluster(qdf: DataFrame, centroids, q_col: str = "q") -> DataFrame:
     )
 
 
+def save_codebook(centroids, path: str) -> None:
+    """Persist an IVF codebook (int64 milli-unit centroids) as JSON --
+    tiny (n_clusters x dim ints), engine-portable, diff-able."""
+    import json
+    import os
+
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.int64)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"quant": QUANT, "centroids": C.tolist()}, f)
+
+
+def load_codebook(path: str):
+    """Load a codebook written by :func:`save_codebook`; refuses a file
+    quantized at a different milli-unit scale (scores would be wrong)."""
+    import json
+
+    import numpy as np
+
+    with open(path) as f:
+        obj = json.load(f)
+    if obj.get("quant") != QUANT:
+        raise ValueError(
+            f"codebook quant={obj.get('quant')} != engine QUANT={QUANT}"
+        )
+    return np.asarray(obj["centroids"], dtype=np.int64)
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids,
@@ -273,14 +303,27 @@ def ivf_topk(
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    codebook=None,
 ) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer, corpus bucketed by
     nearest centroid once, queries probe their ``n_probe`` nearest cells.
     The scale path for *clustered* embeddings (real-model vectors): cells
-    carve the space by density, unlike data-oblivious LSH planes."""
+    carve the space by density, unlike data-oblivious LSH planes.
+
+    ``codebook`` (int64 milli-unit centroid matrix, e.g. from
+    :func:`kmeans_centroids` or :func:`load_codebook`) skips the per-call
+    k-means training -- train once, assign many. The round-3 IVF sweep
+    showed codebook cost dominating small-corpus latency; at 100 TB the
+    codebook is a build artifact, not a per-query job. When provided,
+    ``n_clusters`` is ignored (the codebook's row count wins)."""
     import numpy as np
 
-    C = kmeans_centroids(emb, n_clusters=n_clusters, vec_col=vec_col, id_col=id_col)
+    if codebook is not None:
+        C = np.asarray(codebook, dtype=np.int64)
+    else:
+        C = kmeans_centroids(
+            emb, n_clusters=n_clusters, vec_col=vec_col, id_col=id_col
+        )
     base = quantized(emb, vec_col, id_col)
     corpus = _assign_cluster(base, C)
 

@@ -298,6 +298,65 @@ class IncrementalKGPipeline:
             os.replace(self._convs_dir() + "__tmp", self._convs_dir())
         return out
 
+    def resample_provenance(self) -> dict:
+        """Maintenance: rebuild the triple-count state's provenance samples
+        from the CURRENT triples table. The delta path's contract allows
+        UNTOUCHED keys to retain provenance pointers into superseded turns
+        of other conversations' edits (see the triple-count state note in
+        ``run``); this compact-style resample clears them. Counts are
+        exact by construction, so the re-aggregated ``n`` must equal the
+        state's ``n`` key-for-key -- a mismatch means state corruption and
+        the op refuses loudly instead of silently "fixing" it.
+
+        Cost: one aggregate pass over the triples table (maintenance-tier,
+        like ``rebalance``; the hot ingest path never does this). The
+        rewritten content is exactly ``triple_counts_from_triples`` over
+        live triples, i.e. what a one-shot run over the current input
+        produces, so downstream stages are invalidated only if stale
+        pointers actually existed."""
+        io = self.io
+        m = io.manifest("triple_counts")
+        if not (m and m.get("complete") and m.get("bucketed")):
+            raise ValueError("no complete bucketed triple_counts state to resample")
+        key = list(_TRIPLE_KEY)
+        fresh = triple_counts_from_triples(
+            io.read("triples").drop(BUCKET_COL), PROVENANCE_CAP
+        )
+        state = io.read("triple_counts")
+        mismatched = (
+            fresh.select(*key, "n")
+            .join(
+                state.select(*key, F.col("n").alias("n_state")),
+                key,
+                "full_outer",
+            )
+            .where(~F.col("n").eqNullSafe(F.col("n_state")))
+            .limit(5)
+            .collect()
+        )
+        if mismatched:
+            raise RuntimeError(
+                "triple_counts counts disagree with a re-aggregate of the "
+                f"triples table (state corruption): {mismatched}"
+            )
+        tc_bucket = F.pmod(F.xxhash64(*_TRIPLE_KEY), F.lit(self.n_buckets)).cast(
+            "int"
+        )
+        df = (
+            fresh.withColumn(BUCKET_COL, tc_bucket)
+            .repartition(self.n_buckets, F.col(BUCKET_COL))
+            .localCheckpoint(eager=True)
+        )
+        snap = io.write_bucketed(
+            "triple_counts", df, m["inputs"], m["run_id"] + ".resample"
+        )
+        return {
+            "stage": "triple_counts",
+            "snapshot_before": m["snapshot_id"],
+            "snapshot_after": snap,
+            "rows": io.manifest("triple_counts")["row_count"],
+        }
+
     def run_append(self, delta_tx: DataFrame) -> IncrementalResult:
         """CDC/micro-batch ingest: ``delta_tx`` holds the complete current
         turns of SOME conversations (new or updated); everything else is

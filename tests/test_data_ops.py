@@ -310,6 +310,25 @@ def test_ivf_topk_on_clustered_vectors(spark):
     recall = len(set(ap_pairs) & set(bf_pairs)) / len(bf_pairs)
     assert recall >= 0.9, recall
 
+    # codebook reuse: a precomputed codebook (train once, assign many)
+    # must reproduce the default path exactly, and round-trip through disk
+    import tempfile
+
+    from hmm_crf_ner_fromscratch_spark.operators.similarity import (
+        kmeans_centroids,
+        load_codebook,
+        save_codebook,
+    )
+
+    C = kmeans_centroids(emb, n_clusters=8)
+    with tempfile.TemporaryDirectory() as d:
+        save_codebook(C, f"{d}/cb.json")
+        C2 = load_codebook(f"{d}/cb.json")
+    assert (C == C2).all()
+    reused = ivf_topk(emb, qids, k=10, n_probe=2, codebook=C2)
+    ru_pairs = {(r.query_id, r.neighbor_id): r.sim for r in reused.collect()}
+    assert ru_pairs == ap_pairs
+
 
 def test_textstats_sanity(docs):
     qs = quality_stats(docs).collect()

@@ -316,3 +316,82 @@ def test_conv_digests_order_insensitive(spark):
         for r in conv_digests(tx.orderBy(F.rand(7))).collect()
     }
     assert d1 == d2
+
+
+def test_resample_provenance(spark, english_golden, tmp_path):
+    """kg_admin resample: stale provenance pointers are cleared (every
+    entry points into the live triples table afterwards), counts are
+    unchanged, and a count mismatch (real corruption) refuses loudly."""
+    from hmm_crf_ner_fromscratch_spark.plans.incremental import PROVENANCE_CAP
+
+    sents = load_eval_sentences(english_golden["val"])[:120]
+    tx = synth_transcripts(spark, 150, seed=5, eval_sentences=sents)
+    model = train_hmm(read_conll(spark, english_golden["train"], doc_id="t"))
+    inc = IncrementalKGPipeline(
+        spark, str(tmp_path / "rs"), model, salt_bucket=64, n_buckets=8
+    )
+    inc.run(tx)
+    io = inc.io
+    m0 = io.manifest("triple_counts")
+    key_cols = ["subj_type", "subj", "pred", "obj_type", "obj"]
+
+    # inject a stale provenance pointer (a superseded turn) on one key,
+    # counts untouched -- exactly the staleness the delta contract allows
+    state = io.read("triple_counts")
+    # snapshot the pre-tamper counts eagerly (the overwrites below
+    # invalidate this DataFrame's file listing)
+    before = {
+        tuple(r[c] for c in key_cols): r.n for r in state.collect()
+    }
+    first = state.orderBy(*key_cols).limit(1).collect()[0]
+    cond = (
+        (F.col("subj_type") == first.subj_type)
+        & (F.col("subj") == first.subj)
+        & (F.col("pred") == first.pred)
+        & (F.col("obj_type") == first.obj_type)
+        & (F.col("obj") == first.obj)
+    )
+    ghost = F.array(
+        F.struct(
+            F.lit("GHOST").alias("conv_id"),
+            F.lit(999).cast("int").alias("turn_idx"),
+        )
+    )
+    tampered = state.withColumn(
+        "prov", F.when(cond, ghost).otherwise(F.col("prov"))
+    ).localCheckpoint(eager=True)
+    io.write_bucketed("triple_counts", tampered, m0["inputs"], "tamper")
+    assert (
+        io.read("triple_counts").where(cond).collect()[0].prov[0].conv_id
+        == "GHOST"
+    )
+
+    out = inc.resample_provenance()
+    assert out["rows"] == m0["row_count"]  # counts (and keys) unchanged
+    got = io.read("triple_counts")
+    assert got.where(cond).collect()[0].prov[0].conv_id != "GHOST"
+    # contract: EVERY provenance entry points into the live triples table
+    live = io.read("triples").select(*key_cols, "conv_id", "turn_idx").distinct()
+    exploded = got.select(*key_cols, F.explode("prov").alias("e")).select(
+        *key_cols,
+        F.col("e.conv_id").alias("conv_id"),
+        F.col("e.turn_idx").alias("turn_idx"),
+    )
+    assert exploded.join(live, key_cols + ["conv_id", "turn_idx"], "left_anti").count() == 0
+    # counts key-for-key unchanged vs the pre-tamper state
+    after = {tuple(r[c] for c in key_cols): r.n for r in got.collect()}
+    assert before == after
+    # prov stays within the cap
+    assert got.where(F.size("prov") > PROVENANCE_CAP).count() == 0
+
+    # refusal path: a count that disagrees with the triples re-aggregate
+    # is corruption, not staleness -- the op must not paper over it
+    m1 = io.manifest("triple_counts")
+    corrupt = (
+        io.read("triple_counts")
+        .withColumn("n", F.when(cond, F.col("n") + 1).otherwise(F.col("n")))
+        .localCheckpoint(eager=True)
+    )
+    io.write_bucketed("triple_counts", corrupt, m1["inputs"], "corrupt")
+    with pytest.raises(RuntimeError, match="disagree"):
+        inc.resample_provenance()

@@ -6,6 +6,7 @@ Usage:
   python tools/kg_admin.py audit   <work_dir> <stage>     # full content verify
   python tools/kg_admin.py compact <work_dir> <stage>     # rewrite small files
   python tools/kg_admin.py rebalance <work_dir> [n_buckets]  # fold generations
+  python tools/kg_admin.py resample  <work_dir> [n_buckets]  # refresh triple-count provenance
 
 `audit` re-reads the stage and re-derives the content checksum (the
 per-commit path is single-pass and does not re-scan); `compact` is the
@@ -65,6 +66,16 @@ def main():
         pipe = IncrementalKGPipeline(spark, work_dir, None, n_buckets=n_buckets)
         snaps = pipe.rebalance()
         print(json.dumps({"rebalanced": snaps}))
+        return 0
+    if cmd == "resample":
+        from hmm_crf_ner_fromscratch_spark.plans.incremental import (
+            IncrementalKGPipeline,
+        )
+
+        n_buckets = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+        # resample never decodes, so no model is needed
+        pipe = IncrementalKGPipeline(spark, work_dir, None, n_buckets=n_buckets)
+        print(json.dumps(pipe.resample_provenance()))
         return 0
     if stage is None:
         print(__doc__)
