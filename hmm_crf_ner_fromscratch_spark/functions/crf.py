@@ -165,6 +165,27 @@ def cluster_u_templates(
     return tpls
 
 
+def gazetteer_u_templates(
+    base=None, map_name: str = "gaz"
+) -> list[tuple[str, tuple[int, ...], str]]:
+    """A template set plus gazetteer-membership features: the ``gaz``
+    model-carried map (operators/crf.py::mine_gazetteer) sends each word
+    to the '|'-joined set of entity types whose gold training spans
+    contain it ('<unk>' otherwise), and these rules fire on that class at
+    a -1..+1 window plus the two local bigrams (boundary evidence: an
+    entity word FOLLOWED by a non-member is where spans end). Same
+    mechanism as cluster features, so decode stays self-contained.
+    ``base`` defaults to cluster_u_templates() -- the round-3 quality
+    config this stacks on."""
+    tpls = list(base if base is not None else cluster_u_templates())
+    xf = f"cluster:{map_name}"
+    tpls += [
+        ("UGa", (-1,), xf), ("UGb", (0,), xf), ("UGc", (1,), xf),
+        ("UGd", (-1, 0), xf), ("UGe", (0, 1), xf),
+    ]
+    return tpls
+
+
 def word_at(words: list[str], idx: int) -> str:
     """BOS/EOS-padded positional read (crf_ner.py:120-128)."""
     if 0 <= idx < len(words):

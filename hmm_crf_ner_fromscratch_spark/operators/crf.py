@@ -288,6 +288,41 @@ def build_registry(
     )
 
 
+def mine_gazetteer(
+    sentences: DataFrame, max_vocab: int = 5_000_000
+) -> dict[str, str]:
+    """Entity-membership gazetteer mined from gold training mentions:
+    word -> '|'-joined sorted set of entity types whose spans contain it
+    (scheme-agnostic: the tag's chunk prefix is stripped, so BIO 'B-PER'
+    and BMES 'M-NAME' read 'PER'/'NAME'). The result is a model-carried
+    word->class map (functions/crf.py CLUSTER_MAPS mechanism, xform
+    'cluster:gaz'), so decode stays self-contained; non-member and OOV
+    words read '<unk>'. One explode + distinct aggregate; the driver
+    collect is bounded by DISTINCT (entity word, type) pairs with a
+    limit(cap+1) + loud refusal (cf. train_hmm's max_model_rows)."""
+    ex = (
+        sentences.where(F.size("tokens") > 0)
+        .select(F.explode(F.arrays_zip("tokens", "tags")).alias("x"))
+        .select(F.col("x.tokens").alias("w"), F.col("x.tags").alias("tag"))
+        .where(F.col("tag") != "O")
+    )
+    typ = F.when(
+        F.col("tag").contains("-"), F.substring_index("tag", "-", -1)
+    ).otherwise(F.col("tag"))
+    pairs = (
+        ex.select("w", typ.alias("t")).distinct().limit(max_vocab + 1).collect()
+    )
+    if len(pairs) > max_vocab:
+        raise ValueError(
+            f"gazetteer exceeds max_vocab={max_vocab} distinct (word, type) "
+            "pairs; the map must stay driver/broadcast-sized"
+        )
+    gaz: dict[str, set] = {}
+    for r in pairs:
+        gaz.setdefault(r.w, set()).add(r.t)
+    return {w: "|".join(sorted(ts)) for w, ts in gaz.items()}
+
+
 # per-worker-process DecodeTables cache: built once per (worker, broadcast)
 _TABLES_CACHE: dict[int, DecodeTables] = {}
 

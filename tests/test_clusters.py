@@ -119,6 +119,74 @@ def _is_pure_b(key: str) -> bool:
     return key.startswith("B:")
 
 
+def test_gazetteer_mining_and_decode(spark):
+    """mine_gazetteer: word -> sorted type-set string, scheme prefix
+    stripped; gaz templates train/decode/round-trip through the same
+    model-carried map mechanism as clusters."""
+    import tempfile
+
+    import hmm_crf_ner_fromscratch_spark.functions.crf as fcrf
+    from hmm_crf_ner_fromscratch_spark.functions.crf import (
+        CRFModel,
+        gazetteer_u_templates,
+        register_cluster_maps,
+        EXTENDED_U_TEMPLATES,
+    )
+    from hmm_crf_ner_fromscratch_spark.operators.crf import (
+        build_registry,
+        decode_crf,
+        mine_gazetteer,
+        train_crf,
+    )
+
+    corpus = _tiny_corpus(spark)
+    gaz = mine_gazetteer(corpus)
+    assert gaz["apple"] == "F" and gaz["hammer"] == "T"
+    assert "we" not in gaz and "eat" not in gaz
+    # a word inside spans of two types gets the joined sorted set
+    two = corpus.unionByName(
+        spark.createDataFrame(
+            [("d", 999, ["we", "eat", "hammer"], ["O", "O", "B-F"])],
+            "doc_id string, sent_id long, tokens array<string>, tags array<string>",
+        )
+    )
+    assert mine_gazetteer(two)["hammer"] == "F|T"
+    # BMES-style prefixes strip the same way
+    bmes = spark.createDataFrame(
+        [("d", 0, ["张", "三"], ["B-NAME", "E-NAME"])],
+        "doc_id string, sent_id long, tokens array<string>, tags array<string>",
+    )
+    assert mine_gazetteer(bmes) == {"张": "NAME", "三": "NAME"}
+    # bounded collect refuses loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="max_vocab"):
+        mine_gazetteer(corpus, max_vocab=3)
+
+    # end-to-end: gaz templates over the extended base (no clusters, keeps
+    # the test fast), train, decode, save/load in a fresh-process simulation
+    cmaps = {"gaz": gaz}
+    register_cluster_maps(cmaps)
+    tpls = gazetteer_u_templates(EXTENDED_U_TEMPLATES)
+    registry = build_registry(corpus, u_templates=tpls)
+    registry.cluster_maps = cmaps
+    model, _ = train_crf(corpus, model=registry, epochs=2, lr=1.0, optimizer="adagrad")
+    model.cluster_maps = cmaps
+    test_df = spark.createDataFrame(
+        [("x", ["we", "eat", "plum", "today"]), ("y", ["we", "use", "saw", "today"])],
+        "doc_id string, tokens array<string>",
+    )
+    out1 = {r.doc_id: list(r.tags_pred) for r in decode_crf(test_df, model).collect()}
+    assert out1["x"][2] == "B-F" and out1["y"][2] == "B-T"
+    with tempfile.TemporaryDirectory() as d:
+        model.save(d)
+        fcrf.CLUSTER_MAPS.clear()
+        m2 = CRFModel.load(d)
+        assert m2.cluster_maps["gaz"] == gaz
+        out2 = {r.doc_id: list(r.tags_pred) for r in decode_crf(test_df, m2).collect()}
+        assert out1 == out2
+
+
 def test_cluster_model_roundtrip_decode(spark):
     """Save/load with cluster_maps; decode must be identical and must not
     depend on process-global registration done by the training session."""

@@ -62,15 +62,17 @@ def main():
         from hmm_crf_ner_fromscratch_spark.functions.crf import EXTENDED_U_TEMPLATES
 
         registry = build_registry(train, u_templates=EXTENDED_U_TEMPLATES)
-    elif mode == "cluster":
+    elif mode in ("cluster", "gaz"):
         from hmm_crf_ner_fromscratch_spark.functions.crf import (
             cluster_u_templates,
+            gazetteer_u_templates,
             register_cluster_maps,
         )
         from hmm_crf_ner_fromscratch_spark.operators.clusters import (
             prefix_maps,
             train_word_clusters,
         )
+        from hmm_crf_ner_fromscratch_spark.operators.crf import mine_gazetteer
 
         # cluster hyperparameters via env (positional argv is full)
         min_count = int(os.environ.get("CLUSTER_MIN_COUNT", "1"))
@@ -82,18 +84,20 @@ def main():
         bigrams = os.environ.get("CLUSTER_BIGRAMS", "1") == "1"
         bits = train_word_clusters(train, min_count=min_count, depth=depth)
         cmaps = prefix_maps(bits, lengths=grans)
+        tpls = cluster_u_templates(
+            tuple(f"c{g}" for g in grans), include_bigrams=bigrams
+        )
+        if mode == "gaz":
+            cmaps["gaz"] = mine_gazetteer(train)
+            tpls = gazetteer_u_templates(tpls)
         register_cluster_maps(cmaps)
         print(
             f"clusters: V={len(bits)}, min_count={min_count}, depth={depth}, "
-            f"grans={grans}, bigrams={bigrams}, {time.time()-t0:.0f}s",
+            f"grans={grans}, bigrams={bigrams}, "
+            f"gaz={len(cmaps.get('gaz', {}))}, {time.time()-t0:.0f}s",
             flush=True,
         )
-        registry = build_registry(
-            train,
-            u_templates=cluster_u_templates(
-                tuple(f"c{g}" for g in grans), include_bigrams=bigrams
-            ),
-        )
+        registry = build_registry(train, u_templates=tpls)
         registry.cluster_maps = cmaps
     else:
         registry = build_registry(train)
