@@ -164,11 +164,31 @@ def main() -> None:
     t0 = time.time()
     decode_and_extract(tagged.drop("tags"), dict_model, key_cols=("conv_id", "turn_idx")).count()
     timings["decode_fused"] = round(time.time() - t0, 3)
+
+    # CRF fused decode throughput: the committed trained artifact decoding
+    # the FULL corpus (kg_pipeline_crf's oracle slice is 147 sentences --
+    # correct but overhead-dominated; this measures the actual CRF Viterbi
+    # + feature-extraction rate the KG CRF stage would sustain at scale)
+    from hmm_crf_ner_fromscratch_spark.functions.crf import CRFModel
+    from hmm_crf_ner_fromscratch_spark.operators.fused import decode_and_extract_crf
+    from hmm_crf_ner_fromscratch_spark.plans.entry_queries import _CRF_ART_DIR
+
+    crf_model = CRFModel.load(_CRF_ART_DIR)
+    t0 = time.time()
+    decode_and_extract_crf(
+        tagged.drop("tags"), crf_model, key_cols=("conv_id", "turn_idx")
+    ).count()
+    timings["crf_decode_fused"] = round(time.time() - t0, 3)
     tagged.unpersist()
 
     total = round(sum(timings.values()), 3)
     decode_tps = (
         round(all_tokens / timings["decode_fused"]) if timings.get("decode_fused") else None
+    )
+    crf_decode_tps = (
+        round(all_tokens / timings["crf_decode_fused"])
+        if timings.get("crf_decode_fused")
+        else None
     )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -180,6 +200,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "decode_tokens_per_sec": decode_tps,
+                "crf_decode_tokens_per_sec": crf_decode_tps,
                 # self-defending artifact: load>LOAD_WARN at start means the
                 # numbers are polluted by external processes, not the engine
                 "load_start": round(load_start, 2),
