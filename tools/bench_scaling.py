@@ -33,6 +33,7 @@ WORKER = r"""
 import json, os, sys, time
 
 cores = int(sys.argv[1]); n_turns = int(sys.argv[2]); plain = sys.argv[3] == "plain"
+mode = sys.argv[4] if len(sys.argv) > 4 else "hmm"
 
 if plain:
     sys.path.insert(0, %(repo)r)
@@ -57,14 +58,43 @@ from hmm_crf_ner_fromscratch_spark.sources.transcripts import (
 from hmm_crf_ner_fromscratch_spark.operators.hmm import train_hmm
 from hmm_crf_ner_fromscratch_spark.operators.fused import decode_and_extract
 
-model = train_hmm(read_conll(spark, "/root/reference/English/train.txt", doc_id="t"))
+if mode == "crf":
+    # CRF stage scaling: the committed dict-model artifact (its training
+    # vocabulary) decoding the documents corpus replicated to ~n_turns
+    # rows -- same fused decode_and_extract_crf path as kg_pipeline_crf,
+    # realistic feature-hit rate (decoding OOV-only text would understate
+    # the feature-lookup load). Artifact loads on the DRIVER from the
+    # repo checkout (on a real cluster: shared storage) and broadcasts.
+    from hmm_crf_ner_fromscratch_spark.functions.crf import CRFModel
+    from hmm_crf_ner_fromscratch_spark.operators.fused import (
+        decode_and_extract_crf as _decode_crf)
 
-# materialize the input once (generation excluded from the timed section)
-path = f"/tmp/scale_input_{n_turns}"
-if not os.path.exists(path + "/_SUCCESS"):
-    tx = salted_turns(tokenize_turns(synth_transcripts(spark, n_turns, seed=77)),
-                      bucket=4096, partitions=128)
-    tx.write.mode("overwrite").parquet(path)
+    model = CRFModel.load(
+        %(repo)r + "/hmm_crf_ner_fromscratch_spark/artifacts/crf_dict_model")
+    path = f"/tmp/scale_input_crf_{n_turns}"
+    if not os.path.exists(path + "/_SUCCESS"):
+        docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        rep = max(1, n_turns // docs.count())
+        tx = docs.crossJoin(
+            spark.range(rep).withColumnRenamed("id", "r")
+        ).select(
+            F.concat(F.lit("c"), F.col("r")).alias("conv_id"),
+            F.col("doc_id").cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"), F.lit(None).cast("string").alias("tool"),
+            F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("tokens"),
+        ).repartition(128)
+        tx.write.mode("overwrite").parquet(path)
+    def decode_and_extract(df, m, **kw):
+        return _decode_crf(df, m, **kw)
+else:
+    model = train_hmm(read_conll(spark, "/root/reference/English/train.txt", doc_id="t"))
+
+    # materialize the input once (generation excluded from the timed section)
+    path = f"/tmp/scale_input_{n_turns}"
+    if not os.path.exists(path + "/_SUCCESS"):
+        tx = salted_turns(tokenize_turns(synth_transcripts(spark, n_turns, seed=77)),
+                          bucket=4096, partitions=128)
+        tx.write.mode("overwrite").parquet(path)
 
 # column-prune before the UDF: only key + token columns cross the
 # JVM<->Python Arrow boundary
@@ -80,7 +110,7 @@ t0 = time.time()
 n_mentions = decode_and_extract(inp, model).count()
 wall = time.time() - t0
 print("SCALE_RESULT " + json.dumps(
-    {"cores": cores, "n_turns": n_turns, "n_tokens": int(n_tokens),
+    {"cores": cores, "mode": mode, "n_turns": n_turns, "n_tokens": int(n_tokens),
      "n_mentions": int(n_mentions), "wall_sec": round(wall, 2),
      "tokens_per_sec": round(n_tokens / wall)}))
 spark.stop()
@@ -96,9 +126,10 @@ def _parse(out: subprocess.CompletedProcess) -> dict:
     raise RuntimeError(f"no result line in output: {out.stdout[-500:]}")
 
 
-def run(cores: int, n_turns: int, plain: bool, worker_path: str, zip_path: str) -> dict:
+def run(cores: int, n_turns: int, plain: bool, worker_path: str, zip_path: str,
+        mode: str = "hmm") -> dict:
     if plain:
-        cmd = [sys.executable, worker_path, str(cores), str(n_turns), "plain"]
+        cmd = [sys.executable, worker_path, str(cores), str(n_turns), "plain", mode]
     else:
         cmd = [
             SPARK_SUBMIT,
@@ -115,15 +146,16 @@ def run(cores: int, n_turns: int, plain: bool, worker_path: str, zip_path: str) 
             "--conf", "spark.sql.files.openCostInBytes=0",
             "--conf", "spark.sql.session.timeZone=UTC",
             "--conf", "spark.ui.enabled=false",
-            worker_path, str(cores), str(n_turns), "submit",
+            worker_path, str(cores), str(n_turns), "submit", mode,
         ]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
     return _parse(out)
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--plain"]
+    args = [a for a in sys.argv[1:] if a not in ("--plain", "--crf")]
     plain = "--plain" in sys.argv[1:]
+    mode = "crf" if "--crf" in sys.argv[1:] else "hmm"
     n_turns = int(args[0]) if args else 4_000_000
     zip_path = ""
     if not plain:
@@ -137,7 +169,10 @@ def main():
         f.write(WORKER % {"repo": REPO})
         worker_path = f.name
     try:
-        results = {c: run(c, n_turns, plain, worker_path, zip_path) for c in (2, 8, 32)}
+        results = {
+            c: run(c, n_turns, plain, worker_path, zip_path, mode)
+            for c in (2, 8, 32)
+        }
     finally:
         os.unlink(worker_path)
     eff_2_8 = (results[8]["tokens_per_sec"] / results[2]["tokens_per_sec"]) / 4
