@@ -289,7 +289,7 @@ def build_registry(
 
 
 def mine_gazetteer(
-    sentences: DataFrame, max_vocab: int = 5_000_000
+    sentences: DataFrame, max_vocab: int = 5_000_000, min_count: int = 1
 ) -> dict[str, str]:
     """Entity-membership gazetteer mined from gold training mentions:
     word -> '|'-joined sorted set of entity types whose spans contain it
@@ -297,9 +297,17 @@ def mine_gazetteer(
     and BMES 'M-NAME' read 'PER'/'NAME'). The result is a model-carried
     word->class map (functions/crf.py CLUSTER_MAPS mechanism, xform
     'cluster:gaz'), so decode stays self-contained; non-member and OOV
-    words read '<unk>'. One explode + distinct aggregate; the driver
-    collect is bounded by DISTINCT (entity word, type) pairs with a
-    limit(cap+1) + loud refusal (cf. train_hmm's max_model_rows)."""
+    words read '<unk>'. One explode + grouped aggregate; the driver
+    collect is bounded by DISTINCT entity words with a limit(cap+1) +
+    loud refusal (cf. train_hmm's max_model_rows).
+
+    ``min_count`` keeps only words with >= that many entity-token
+    occurrences in total. The quality recipe trains with min_count=2
+    (singleton entity words read '<unk>' at train time, matching how
+    validation-unseen entities read at decode time -- the word-dropout
+    remedy of Lample et al. 2016 applied to the gazetteer channel;
+    measured: the unmasked map collapses recall, 0.871 -> 0.813) while
+    the SAVED model carries the full min_count=1 map."""
     ex = (
         sentences.where(F.size("tokens") > 0)
         .select(F.explode(F.arrays_zip("tokens", "tags")).alias("x"))
@@ -309,18 +317,20 @@ def mine_gazetteer(
     typ = F.when(
         F.col("tag").contains("-"), F.substring_index("tag", "-", -1)
     ).otherwise(F.col("tag"))
-    pairs = (
-        ex.select("w", typ.alias("t")).distinct().limit(max_vocab + 1).collect()
+    rows = (
+        ex.select("w", typ.alias("t"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"), F.collect_set("t").alias("ts"))
+        .where(F.col("n") >= min_count)
+        .limit(max_vocab + 1)
+        .collect()
     )
-    if len(pairs) > max_vocab:
+    if len(rows) > max_vocab:
         raise ValueError(
-            f"gazetteer exceeds max_vocab={max_vocab} distinct (word, type) "
-            "pairs; the map must stay driver/broadcast-sized"
+            f"gazetteer exceeds max_vocab={max_vocab} distinct entity "
+            "words; the map must stay driver/broadcast-sized"
         )
-    gaz: dict[str, set] = {}
-    for r in pairs:
-        gaz.setdefault(r.w, set()).add(r.t)
-    return {w: "|".join(sorted(ts)) for w, ts in gaz.items()}
+    return {r.w: "|".join(sorted(r.ts)) for r in rows}
 
 
 # per-worker-process DecodeTables cache: built once per (worker, broadcast)

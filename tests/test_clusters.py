@@ -163,6 +163,11 @@ def test_gazetteer_mining_and_decode(spark):
     with pytest.raises(ValueError, match="max_vocab"):
         mine_gazetteer(corpus, max_vocab=3)
 
+    # min_count masks infrequent entity words (train-time word dropout:
+    # each entity word occurs exactly 10 times in the tiny corpus)
+    assert mine_gazetteer(corpus, min_count=10)["hammer"] == "T"
+    assert "hammer" not in mine_gazetteer(corpus, min_count=11)
+
     # end-to-end: gaz templates over the extended base (no clusters, keeps
     # the test fast), train, decode, save/load in a fresh-process simulation
     cmaps = {"gaz": gaz}

@@ -88,13 +88,30 @@ def main():
             tuple(f"c{g}" for g in grans), include_bigrams=bigrams
         )
         if mode == "gaz":
-            cmaps["gaz"] = mine_gazetteer(train)
+            # GAZ_MIN_COUNT > 1 masks singleton entity words at TRAIN time
+            # only (they read '<unk>', like validation-unseen entities do),
+            # while evaluation and every saved checkpoint carry the full
+            # map -- see mine_gazetteer's docstring for the measured
+            # recall-collapse this prevents.
+            gaz_min_count = int(os.environ.get("GAZ_MIN_COUNT", "1"))
+            full_gaz = mine_gazetteer(train)
+            cmaps["gaz"] = (
+                mine_gazetteer(train, min_count=gaz_min_count)
+                if gaz_min_count > 1
+                else full_gaz
+            )
             tpls = gazetteer_u_templates(tpls)
         register_cluster_maps(cmaps)
         print(
             f"clusters: V={len(bits)}, min_count={min_count}, depth={depth}, "
             f"grans={grans}, bigrams={bigrams}, "
-            f"gaz={len(cmaps.get('gaz', {}))}, {time.time()-t0:.0f}s",
+            f"gaz={len(cmaps.get('gaz', {}))}"
+            + (
+                f" (train-masked; full={len(full_gaz)})"
+                if mode == "gaz" and gaz_min_count > 1
+                else ""
+            )
+            + f", {time.time()-t0:.0f}s",
             flush=True,
         )
         registry = build_registry(train, u_templates=tpls)
@@ -133,6 +150,14 @@ def main():
 
     def cb(epoch, model, loss):
         import numpy as np
+
+        if mode == "gaz":
+            # train_crf's model broadcast is taken at entry (before epoch
+            # 1), so from the first callback on the driver copy can carry
+            # the deployment (full) gazetteer: every eval and checkpoint
+            # below then measures/ships exactly what decode will see,
+            # while the in-flight training keeps the masked broadcast.
+            model.cluster_maps["gaz"] = full_gaz
 
         rec = {"epoch": epoch, "loss": loss, "sec": round(time.time() - t0, 1)}
         if avg_from and epoch >= avg_from:
