@@ -308,19 +308,8 @@ def mine_gazetteer(
     remedy of Lample et al. 2016 applied to the gazetteer channel;
     measured: the unmasked map collapses recall, 0.871 -> 0.813) while
     the SAVED model carries the full min_count=1 map."""
-    ex = (
-        sentences.where(F.size("tokens") > 0)
-        .select(F.explode(F.arrays_zip("tokens", "tags")).alias("x"))
-        .select(F.col("x.tokens").alias("w"), F.col("x.tags").alias("tag"))
-        .where(F.col("tag") != "O")
-    )
-    typ = F.when(
-        F.col("tag").contains("-"), F.substring_index("tag", "-", -1)
-    ).otherwise(F.col("tag"))
     rows = (
-        ex.select("w", typ.alias("t"))
-        .groupBy("w")
-        .agg(F.count("*").alias("n"), F.collect_set("t").alias("ts"))
+        gazetteer_entries(sentences)
         .where(F.col("n") >= min_count)
         .limit(max_vocab + 1)
         .collect()
@@ -330,7 +319,35 @@ def mine_gazetteer(
             f"gazetteer exceeds max_vocab={max_vocab} distinct entity "
             "words; the map must stay driver/broadcast-sized"
         )
-    return {r.w: "|".join(sorted(r.ts)) for r in rows}
+    return {r.w: r.gaz_class for r in rows}
+
+
+def gazetteer_entries(sentences: DataFrame) -> DataFrame:
+    """Distributed core of ``mine_gazetteer``: one row per distinct
+    entity word -- ``(w, gaz_class, n)`` where ``gaz_class`` is the
+    '|'-joined lexicographically sorted set of chunk-prefix-stripped
+    entity types whose gold spans contain the word and ``n`` its total
+    entity-token count. One explode + one combiner-reduced groupBy;
+    oracled by the ``gazetteer`` entry query (ANSI gaps-free aggregate,
+    hash-compared against DuckDB)."""
+    ex = (
+        sentences.where(F.size("tokens") > 0)
+        .select(F.explode(F.arrays_zip("tokens", "tags")).alias("x"))
+        .select(F.col("x.tokens").alias("w"), F.col("x.tags").alias("tag"))
+        .where(F.col("tag") != "O")
+    )
+    typ = F.when(
+        F.col("tag").contains("-"), F.substring_index("tag", "-", -1)
+    ).otherwise(F.col("tag"))
+    return (
+        ex.select("w", typ.alias("t"))
+        .groupBy("w")
+        .agg(
+            F.count("*").alias("n"),
+            F.array_sort(F.collect_set("t")).alias("ts"),
+        )
+        .select("w", F.array_join("ts", "|").alias("gaz_class"), "n")
+    )
 
 
 # per-worker-process DecodeTables cache: built once per (worker, broadcast)

@@ -2293,11 +2293,58 @@ GROUP BY w, d, c
 """
 
 
+def q_gazetteer(spark, sf_dir):
+    """Gazetteer mining aggregate (operators/crf.py::gazetteer_entries,
+    the distributed core behind the CRF quality recipe's gaz features):
+    two dictionary taggings of the documents corpus are unioned -- a
+    fine BIO tagging (OP/OBJ) and a coarse one typing OP_COARSE words
+    as VERB -- so words in both inventories exercise the sorted
+    type-SET join ('OP|VERB') and the B-/I- chunk-prefix strip, not
+    just single-type rows."""
+    from ..operators.crf import gazetteer_entries
+
+    toks = _toks(spark, sf_dir)
+    fine = toks.select(
+        F.col("toks").alias("tokens"),
+        F.transform(
+            "toks",
+            lambda w: F.when(w.isin(OP_WORDS), "I-OP")
+            .when(w.isin(OBJ_WORDS), "I-OBJ")
+            .otherwise("O"),
+        ).alias("tags"),
+    )
+    coarse = toks.select(
+        F.col("toks").alias("tokens"),
+        F.transform(
+            "toks",
+            lambda w: F.when(w.isin(OP_COARSE), "B-VERB").otherwise("O"),
+        ).alias("tags"),
+    )
+    return gazetteer_entries(fine.unionByName(coarse))
+
+
+SQL_GAZETTEER = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+typed AS (
+  SELECT w, 'OP' AS ty FROM tok WHERE w IN ({_sql_list(OP_WORDS)})
+  UNION ALL
+  SELECT w, 'OBJ' AS ty FROM tok WHERE w IN ({_sql_list(OBJ_WORDS)})
+  UNION ALL
+  SELECT w, 'VERB' AS ty FROM tok WHERE w IN ({_sql_list(OP_COARSE)}))
+SELECT w,
+       array_to_string(list_sort(list(DISTINCT ty)), '|') AS gaz_class,
+       count(*) AS n
+FROM typed GROUP BY w
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
 
 QUERIES = {
+    "gazetteer": q_gazetteer,
     "cluster_context_counts": q_cluster_context_counts,
     "kg_pipeline_crf": q_kg_pipeline_crf,
     "simhash": q_simhash,
@@ -2338,6 +2385,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "gazetteer": SQL_GAZETTEER,
     "cluster_context_counts": _cluster_context_counts_sql(),
     "simhash": SQL_SIMHASH,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
