@@ -150,3 +150,40 @@ def test_tfidf_link_scores(spark):
     assert near > far
     for score in s.values():
         assert -1e-9 <= score <= 1.0 + 1e-9
+
+def test_check_cli_reference_prompt_flow(tmp_path):
+    """tools/check_cli.py: the reference's interactive prompt flow
+    (check.py:44-67 -- prompt strings, retry-on-invalid loops, banner)
+    over the bundled example pair, rendering the Spark report in
+    sklearn's text layout. Metric VALUES are parity-tested above; this
+    pins the CLI surface."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    (tmp_path / "English").mkdir()
+    shutil.copy(GOLD, tmp_path / "English" / "validation.txt")
+    shutil.copy(PRED, tmp_path / "English" / "validation_2.txt")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "check_cli.py"),
+         "--root", str(tmp_path)],
+        input="9\n2\nx\nv\nq\ne\n",
+        capture_output=True, text=True, timeout=400,
+    ).stdout
+    assert "Invalid model. Please choose 1, 2, 3." in out
+    assert "Invalid dataset. Please choose t, v or test." in out
+    assert "Invalid language. Please choose e or c." in out
+    assert (
+        "--------------------------------Test Model 2"
+        "--------------------------------" in out
+    )
+    assert "English Validation Set:" in out
+    assert "precision    recall  f1-score   support" in out
+    for row in ("B-PER ", "micro avg", "macro avg", "weighted avg"):
+        assert row in out
+    # 4-digit metric cells, sklearn-style right alignment
+    import re
+
+    assert re.search(r"B-PER\s+\d\.\d{4}\s+\d\.\d{4}\s+\d\.\d{4}\s+\d+", out)
