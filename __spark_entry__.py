@@ -8,8 +8,9 @@ connected components + edge aggregation) on /root/testdata/sf0.001.
 a DuckDB oracle (validated locally with tools/validate_oracles.py) --
 including the flagship KG pipeline and the HMM/CRF/transformer decodes,
 whose oracles replay the model build and Viterbi DP as recursive CTEs
-with pinned float semantics. As of round 3 every query has a value
-oracle (37/37): ``crf_decode_dict`` decodes with the committed
+with pinned float semantics. As of round 4 every query has a value
+oracle (38/38, ``gazetteer`` -- the CRF quality recipe's mining
+aggregate -- joining in round 4): ``crf_decode_dict`` decodes with the committed
 quantized Adagrad-trained weights (artifacts/crf_dict_model, built by
 tools/make_crf_dict_artifact.py), so its oracle joins the same weight
 parquet and replays the DP in int64 -- only the training *trajectory*
