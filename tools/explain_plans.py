@@ -88,6 +88,13 @@ EXPECTATIONS = {
         "sort; edge aggregation is one shuffle; the committed model rides a "
         "broadcast, not a join."
     ),
+    "gazetteer": (
+        "Both tagging branches scan ONLY the text column (ReadSchema "
+        "pruning); the dictionary tag inventories constant-fold into CASE/"
+        "InSet projections; the non-O filter applies BEFORE the exchange so "
+        "only entity tokens shuffle; one combiner-reduced hash aggregate "
+        "(partial collect_set/count map-side)."
+    ),
     "kg_incremental": (
         "Final-edges plan over the MERGED bucketed stage table: the scan "
         "shows the bucket partition column (Hive layout) and the upstream "
