@@ -111,6 +111,67 @@ def add_lsh_bucket(
     return qdf.withColumn("bucket", bucket.cast("int"))
 
 
+P_FLIP_COS09 = 0.14358  # acos(0.9)/pi: P(one random plane splits a cos=0.9 pair)
+
+
+def lsh_auto_config(
+    n_rows: int, target_recall: float = 0.9, p_flip: float = P_FLIP_COS09
+) -> tuple[int, int]:
+    """Recall-aware (n_planes, probe_bits) for top-k LSH.
+
+    Model: a true neighbor at cos ~= 0.9 lands within hamming distance h
+    of the query's bucket with probability
+    ``sum_{i<=h} C(n,i) p^i (1-p)^(n-i)`` where ``p = acos(0.9)/pi``.
+    Among configs whose modeled recall clears ``target_recall``, pick the
+    one scanning the smallest expected corpus fraction
+    ``sum_{i<=h} C(n,i) / 2^n``; if none clears it (tiny corpora), pick
+    the max-recall config. The model is conservative in practice -- at
+    1M synthetic vectors it predicts 0.79 for planes=6/h=1 where the
+    measured recall@10 is 0.8875 (BENCH/ann_sweep_1m.jsonl) -- so the
+    chosen config's measured recall lands above target.
+
+    This replaces the round-3 occupancy-targeted default
+    (:func:`planes_for_corpus`), which the round-4 1M-vector sweep
+    falsified for top-k: occupancy targeting picked 12 planes -> recall
+    0.625, while fixed 6 planes measured 0.8875 faster. Occupancy is the
+    right objective for near-dup *pair enumeration* (candidate pairs
+    scale with occupancy); top-k recall needs the probe set to keep
+    covering the neighbor's bucket as planes grow, which 1-bit probing
+    stops doing past ~8 planes."""
+    from math import comb
+
+    best = None  # (scan_frac, -recall, planes, bits)
+    fallback = None
+    for planes in range(4, 17):
+        for bits in (1, 2):
+            recall = sum(
+                comb(planes, i) * p_flip**i * (1 - p_flip) ** (planes - i)
+                for i in range(bits + 1)
+            )
+            scan = sum(comb(planes, i) for i in range(bits + 1)) / 2**planes
+            cand = (scan, -recall, planes, bits)
+            if fallback is None or -cand[1] > -fallback[1]:
+                fallback = cand
+            if recall >= target_recall and (best is None or cand < best):
+                best = cand
+    _, _, planes, bits = best if best is not None else fallback
+    return planes, bits
+
+
+def _probe_set(n_planes: int, probe_bits: int):
+    """All hamming-<=probe_bits flip masks (excluding 0), as ints."""
+    flips = []
+    if probe_bits >= 1:
+        flips += [1 << p for p in range(n_planes)]
+    if probe_bits >= 2:
+        flips += [
+            (1 << a) | (1 << b)
+            for a in range(n_planes)
+            for b in range(a + 1, n_planes)
+        ]
+    return flips
+
+
 def lsh_topk(
     emb: DataFrame,
     query_ids,
@@ -120,20 +181,29 @@ def lsh_topk(
     multi_probe: bool = True,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probe_bits: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket,
-    plus (multi_probe) every bucket at hamming distance 1 -- the standard
-    recall lever that avoids building more tables. Recall/latency tradeoff
-    via n_planes; same quantized scoring as brute force so results are
-    directly comparable.
+    plus every bucket within hamming distance ``probe_bits`` (multi-probe,
+    the standard recall lever that avoids building more tables).
+    Recall/latency tradeoff via n_planes; same quantized scoring as brute
+    force so results are directly comparable.
 
-    ``n_planes=None`` sizes planes from the corpus (planes_for_corpus, one
-    count() job) the way cosine_near_duplicates does: the round-3 sweep
-    (BENCH/BASELINE.md) showed a fixed plane count over-partitions small
-    corpora (recall 0.29 at 6 planes / 8k vectors vs 0.48 at 4) and
-    under-partitions large ones (quadratic candidate growth)."""
+    ``probe_bits=None`` -> 1 if ``multi_probe`` else 0 (back-compat).
+
+    ``n_planes=None`` picks (planes, probe_bits) from the corpus size via
+    :func:`lsh_auto_config` (one count() job): the recall-aware default.
+    Round 4's 1M-vector sweep showed the earlier occupancy-targeted
+    default (12 planes, 1-bit probe) lands at recall@10 0.625 where fixed
+    6 planes gets 0.8875 -- occupancy is the near-dup objective, not the
+    top-k one (see lsh_auto_config)."""
     if n_planes is None:
-        n_planes = planes_for_corpus(emb.count())
+        auto_planes, auto_bits = lsh_auto_config(emb.count())
+        n_planes = auto_planes
+        if probe_bits is None:
+            probe_bits = auto_bits
+    if probe_bits is None:
+        probe_bits = 1 if multi_probe else 0
     base = add_lsh_bucket(quantized(emb, vec_col, id_col), n_planes, dim)
     queries = base.where(F.col("vec_id").isin(list(query_ids))).select(
         F.col("vec_id").alias("query_id"),
@@ -141,13 +211,11 @@ def lsh_topk(
         F.col("nrm").alias("qn"),
         "bucket",
     )
-    if multi_probe:
+    flips = _probe_set(n_planes, probe_bits)
+    if flips:
         probes = F.array(
             F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("int")
-                for p in range(n_planes)
-            ],
+            *[F.col("bucket").bitwiseXOR(F.lit(m)).cast("int") for m in flips],
         )
         queries = queries.withColumn("bucket", F.explode(probes))
     cands = base.select(
@@ -244,25 +312,61 @@ def kmeans_centroids(
 
 
 def _assign_cluster(qdf: DataFrame, centroids, q_col: str = "q") -> DataFrame:
-    """Distributed nearest-centroid assignment: centroids (already int64
-    milli-units) folded into the plan as literals (tiny codebook), squared
-    L2 on the quantized ints; array_position(min) = first-index tie-break."""
-    import numpy as np
+    """Distributed nearest-centroid assignment, vectorized: one int64
+    NumPy matmul per Arrow batch inside ``mapInPandas``.
 
-    Cq = np.asarray(centroids, dtype=np.int64)
-    dists = []
-    for c in range(Cq.shape[0]):
-        cvec = F.array(*[F.lit(int(v)) for v in Cq[c]])
-        d2 = F.aggregate(
-            F.zip_with(q_col, cvec, lambda u, v: (u - v) * (u - v)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        dists.append(d2)
-    arr = F.array(*dists)
-    return qdf.withColumn(
-        "cluster", F.array_position(arr, F.array_min(arr)).cast("int") - 1
+    Why not a Catalyst expression: the previous form built one
+    ``aggregate(zip_with(...))`` higher-order expression per centroid;
+    Spark interprets lambda functions (they never enter codegen), so at
+    1M rows x 256 cells x 64 dims that is ~16e9 interpreted ops --
+    measured 282-774 s where exact brute force over the same corpus takes
+    16 s (BENCH/ann_sweep_1m.jsonl, round 4). One matmul per Arrow batch
+    does the same arithmetic in BLAS.
+
+    Exact-integer semantics are preserved bit-for-bit (the DuckDB oracle
+    is unchanged): vectors and centroids are int64 milli-units;
+    ``argmin_c ||x - c||^2 == argmin_c (||c||^2 - 2 x.c)`` because
+    ``||x||^2`` is constant per row; ``np.argmin`` takes the first index
+    on ties, identical to ``array_position(arr, array_min(arr))``."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.int64))
+    cn = (C * C).sum(axis=1)
+    # fresh StructType: StructType.add MUTATES the DataFrame's cached
+    # schema object, which corrupts qdf.columns for the mapInPandas call
+    out_schema = StructType(
+        list(qdf.schema.fields) + [StructField("cluster", IntegerType())]
     )
+
+    def assign(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            if len(pdf) == 0:
+                out["cluster"] = np.array([], dtype="int32")
+            else:
+                X = np.array(pdf[q_col].tolist(), dtype=np.int64)
+                out["cluster"] = (cn[None, :] - 2 * (X @ C.T)).argmin(axis=1).astype(
+                    "int32"
+                )
+            yield out
+
+    return qdf.mapInPandas(assign, out_schema)
+
+
+def assign_ivf(
+    emb: DataFrame,
+    codebook,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Build-once IVF index: quantize and assign every corpus vector to
+    its nearest codebook centroid. Returns ``(vec_id, q, nrm, cluster)``;
+    persist it (or write parquet, partitioned by ``cluster``) and pass to
+    :func:`ivf_topk` via ``index=`` so assignment is paid once per corpus,
+    not once per query batch. At 100 TB this is the index-build job; the
+    per-query work is then a probe-cell scan."""
+    return _assign_cluster(quantized(emb, vec_col, id_col), codebook)
 
 
 def save_codebook(centroids, path: str) -> None:
@@ -304,6 +408,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     codebook=None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer, corpus bucketed by
     nearest centroid once, queries probe their ``n_probe`` nearest cells.
@@ -315,28 +420,41 @@ def ivf_topk(
     k-means training -- train once, assign many. The round-3 IVF sweep
     showed codebook cost dominating small-corpus latency; at 100 TB the
     codebook is a build artifact, not a per-query job. When provided,
-    ``n_clusters`` is ignored (the codebook's row count wins)."""
+    ``n_clusters`` is ignored (the codebook's row count wins).
+
+    ``index`` (the ``(vec_id, q, nrm, cluster)`` DataFrame from
+    :func:`assign_ivf`, typically persisted or parquet-backed) skips
+    corpus assignment too -- the remaining per-call work is just the
+    probe-cell join. Requires ``codebook`` (probe selection needs the
+    centroids); ``emb`` is then ignored and may be None."""
     import numpy as np
 
+    if index is not None and codebook is None:
+        raise ValueError("index= requires codebook= (probe selection needs centroids)")
     if codebook is not None:
         C = np.asarray(codebook, dtype=np.int64)
     else:
         C = kmeans_centroids(
             emb, n_clusters=n_clusters, vec_col=vec_col, id_col=id_col
         )
-    base = quantized(emb, vec_col, id_col)
-    corpus = _assign_cluster(base, C)
+    if index is not None:
+        corpus = index
+        qsource = index.select("vec_id", "q", "nrm")
+    else:
+        base = quantized(emb, vec_col, id_col)
+        corpus = _assign_cluster(base, C)
+        qsource = base
 
     # query probes: n_probe nearest centroids, exploded
     Cq = np.asarray(C, dtype=np.int64)  # already milli-units
-    qrows = base.where(F.col("vec_id").isin(list(query_ids))).collect()
+    qrows = qsource.where(F.col("vec_id").isin(list(query_ids))).collect()
     probe_rows = []
     for r in qrows:
         qv = np.array(r.q, dtype=np.int64)
         d2 = ((Cq - qv[None, :]) ** 2).sum(axis=1)
         for c in np.argsort(d2, kind="stable")[:n_probe]:
             probe_rows.append((int(r.vec_id), list(r.q), int(r.nrm), int(c)))
-    spark = emb.sparkSession
+    spark = (emb if index is None else index).sparkSession
     queries = spark.createDataFrame(
         probe_rows, "query_id long, qq array<long>, qn long, cluster int"
     )
@@ -369,7 +487,14 @@ def planes_for_corpus(n_rows: int, target: int = TARGET_BUCKET_OCCUPANCY) -> int
     n * target / 2 instead of n^2 / 2^planes with a fixed plane count --
     the difference between linear and quadratic at 10^9 vectors. Clamped
     to [4, 24] (beyond 24 planes sign-LSH recall for near-dup thresholds
-    degrades faster than occupancy improves; shard the corpus instead)."""
+    degrades faster than occupancy improves; shard the corpus instead).
+
+    Scope: this is the NEAR-DUP PAIR-ENUMERATION knob
+    (:func:`cosine_near_duplicates`), where the objective is bounding
+    candidate pairs. It is NOT a top-k recall knob -- the round-4
+    1M-vector sweep measured recall@10 0.625 when this default was used
+    for :func:`lsh_topk` (12 planes) vs 0.8875 at fixed 6 planes
+    (BENCH/ann_sweep_1m.jsonl). Top-k uses :func:`lsh_auto_config`."""
     import math
 
     if n_rows <= target:

@@ -329,6 +329,54 @@ def test_ivf_topk_on_clustered_vectors(spark):
     ru_pairs = {(r.query_id, r.neighbor_id): r.sim for r in reused.collect()}
     assert ru_pairs == ap_pairs
 
+    # prebuilt index (assign once, query many): must reproduce the
+    # default path exactly; assignment is the build job, not per-query
+    from hmm_crf_ner_fromscratch_spark.operators.similarity import assign_ivf
+
+    idx = assign_ivf(emb, C2).persist()
+    assert idx.columns == ["vec_id", "q", "nrm", "cluster"]
+    n_cells = idx.select("cluster").distinct().count()
+    assert 1 <= n_cells <= 8
+    indexed = ivf_topk(None, qids, k=10, n_probe=2, codebook=C2, index=idx)
+    ix_pairs = {(r.query_id, r.neighbor_id): r.sim for r in indexed.collect()}
+    assert ix_pairs == ap_pairs
+    idx.unpersist()
+    with pytest.raises(ValueError):
+        ivf_topk(None, qids, index=idx)  # index without codebook
+
+
+def test_lsh_auto_config_recall_aware():
+    """The auto (planes, probe_bits) choice must clear the modeled recall
+    target with the smallest scanned fraction -- and must NOT reproduce
+    the round-4 failure (occupancy-targeted 12 planes / 1-bit probing,
+    measured recall@10 0.625 at 1M vectors)."""
+    from math import comb
+
+    from hmm_crf_ner_fromscratch_spark.operators.similarity import (
+        P_FLIP_COS09,
+        lsh_auto_config,
+        planes_for_corpus,
+    )
+
+    def model_recall(planes, bits, p=P_FLIP_COS09):
+        return sum(
+            comb(planes, i) * p**i * (1 - p) ** (planes - i)
+            for i in range(bits + 1)
+        )
+
+    planes, bits = lsh_auto_config(1_000_000)
+    assert model_recall(planes, bits) >= 0.9
+    # the occupancy default picked 12 planes at 1M; the recall-aware one
+    # must probe deeper and use fewer planes than that
+    assert planes_for_corpus(1_000_000) == 12
+    assert planes < 12 and bits == 2
+    # scanned fraction stays bounded (not a degenerate full scan)
+    scan = sum(comb(planes, i) for i in range(bits + 1)) / 2**planes
+    assert scan <= 0.25, scan
+    # config is by design corpus-size independent (recall model and
+    # scanned FRACTION both cancel n); spot-check stability
+    assert lsh_auto_config(10_000_000) == (planes, bits)
+
 
 def test_textstats_sanity(docs):
     qs = quality_stats(docs).collect()

@@ -16,11 +16,19 @@ a deterministic clustered corpus of N vectors is generated distributively
 (spark.range + hash-derived floats, vector = centroid + 0.35*noise so
 nearest-neighbor structure exists and recall@10 is a meaningful number;
 uniform random vectors would make every method look equally bad) and
-cached as parquet under /tmp. This is the round-4 scale validation of
-``planes_for_corpus``: at >=100k vectors the sweep switches to the
-large-corpus grid (fixed plane counts that bracket the adaptive choice,
-plus ``planes=auto``) to show the occupancy-targeted default holds the
-recall/latency knee where fixed counts degrade.
+cached as parquet under /tmp.
+
+History: the round-4 1M-vector sweep FALSIFIED the then-default
+occupancy-targeted plane count for top-k (auto=12 planes: recall@10
+0.625 vs fixed 6 planes at 0.8875 for similar latency) and exposed the
+per-centroid Catalyst-lambda IVF assignment as a scale-killer (282-774 s
+vs 16 s exact brute force). Round 5 replaced both: ``lsh_auto_config``
+picks (planes, probe_bits) from a recall model, and IVF assignment is a
+vectorized mapInPandas matmul with an optional prebuilt index
+(``assign_ivf``). At >=100k vectors this sweep validates exactly those
+two fixes: the auto LSH config vs fixed brackets (including the old
+12-plane choice for contrast), and IVF with/without a prebuilt index,
+with codebook-train and index-build times reported separately in meta.
 """
 
 from __future__ import annotations
@@ -122,49 +130,80 @@ def main() -> None:
         print(json.dumps(results[-1]), flush=True)
 
     from hmm_crf_ner_fromscratch_spark.operators.similarity import (
+        assign_ivf,
+        kmeans_centroids,
+        lsh_auto_config,
         planes_for_corpus,
     )
 
-    auto_planes = planes_for_corpus(n_vecs)
+    auto_planes, auto_bits = lsh_auto_config(n_vecs)
+    occ_planes = planes_for_corpus(n_vecs)  # the old (near-dup) default
+    extra_meta = {}
     if n_vecs >= 100_000:
-        # large-corpus grid: fixed plane counts bracketing the adaptive
-        # choice; multi-probe always (the small-corpus sweep settled that)
-        lsh_grid = sorted({6, 8, auto_planes, auto_planes + 4})
-        lsh_probe = (True,)
+        # large-corpus grid: the auto config, fixed 1-bit brackets, and
+        # the old occupancy-targeted choice for contrast
+        lsh_grid = [(6, 1), (8, 1), (auto_planes, auto_bits), (occ_planes, 1)]
+        seen = set()
+        lsh_grid = [g for g in lsh_grid if not (g in seen or seen.add(g))]
         ivf_grid = [(64, 1), (64, 4), (256, 1), (256, 4)]
     else:
-        lsh_grid = (4, 6, 8, 10, 12)
-        lsh_probe = (False, True)
+        lsh_grid = [(p, b) for p in (4, 6, 8, 10, 12) for b in (0, 1)]
         ivf_grid = [(c, p) for c in (8, 16, 32) for p in (1, 2, 4)]
 
-    for n_planes in lsh_grid:
-        for mp in lsh_probe:
-            auto = " (auto)" if n_planes == auto_planes else ""
-            run(
-                f"lsh planes={n_planes}{auto} probe={'h1' if mp else 'exact-bucket'}",
-                {"kind": "lsh", "n_planes": n_planes, "multi_probe": mp,
-                 "is_auto": n_planes == auto_planes},
-                lambda n_planes=n_planes, mp=mp: lsh_topk(
-                    emb, query_ids, k=k, n_planes=n_planes, multi_probe=mp
-                ),
-            )
-    for n_clusters, n_probe in ivf_grid:
+    for n_planes, bits in lsh_grid:
+        auto = " (auto)" if (n_planes, bits) == (auto_planes, auto_bits) else ""
         run(
-            f"ivf cells={n_clusters} probe={n_probe}",
-            {"kind": "ivf", "n_clusters": n_clusters, "n_probe": n_probe},
-            lambda n_clusters=n_clusters, n_probe=n_probe: ivf_topk(
-                emb, query_ids, k=k, n_clusters=n_clusters, n_probe=n_probe
+            f"lsh planes={n_planes}{auto} probe=h{bits}",
+            {"kind": "lsh", "n_planes": n_planes, "probe_bits": bits,
+             "is_auto": (n_planes, bits) == (auto_planes, auto_bits)},
+            lambda n_planes=n_planes, bits=bits: lsh_topk(
+                emb, query_ids, k=k, n_planes=n_planes, probe_bits=bits
             ),
         )
+    for n_clusters in sorted({c for c, _ in ivf_grid}):
+        # train + build once per cell count (the 100 TB shape: codebook
+        # and assignment are index-build artifacts, not per-query work)
+        t0 = time.time()
+        C = kmeans_centroids(emb, n_clusters=n_clusters)
+        train_sec = round(time.time() - t0, 2)
+        t0 = time.time()
+        idx = assign_ivf(emb, C).persist()
+        idx.count()
+        build_sec = round(time.time() - t0, 2)
+        extra_meta[f"ivf_cells{n_clusters}_train_sec"] = train_sec
+        extra_meta[f"ivf_cells{n_clusters}_build_sec"] = build_sec
+        for c, n_probe in ivf_grid:
+            if c != n_clusters:
+                continue
+            run(
+                f"ivf cells={n_clusters} probe={n_probe} (indexed)",
+                {"kind": "ivf", "n_clusters": n_clusters, "n_probe": n_probe,
+                 "indexed": True, "train_sec": train_sec,
+                 "build_sec": build_sec},
+                lambda C=C, idx=idx, n_probe=n_probe: ivf_topk(
+                    None, query_ids, k=k, n_probe=n_probe, codebook=C, index=idx
+                ),
+            )
+        idx.unpersist()
+    # one unindexed row: per-call matmul assignment cost (the round-4
+    # Catalyst-lambda form took 282-774 s here; the fix should be ~brute)
+    run(
+        "ivf cells=64 probe=4 (per-call assign)",
+        {"kind": "ivf", "n_clusters": 64, "n_probe": 4, "indexed": False},
+        lambda: ivf_topk(emb, query_ids, k=k, n_clusters=64, n_probe=4),
+    )
 
     hdr = {
         "n_vecs": n_vecs,
         "n_queries": n_queries,
         "k": k,
         "auto_planes": auto_planes,
+        "auto_probe_bits": auto_bits,
+        "occupancy_planes": occ_planes,
         "brute_force_sec_cold": round(brute_sec, 2),
         "brute_force_sec_warm": round(brute_sec_warm, 2),
         "load_start": round(os.getloadavg()[0], 2),
+        **extra_meta,
     }
     print(json.dumps({"meta": hdr}), flush=True)
 
