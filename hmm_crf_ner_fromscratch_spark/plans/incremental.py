@@ -246,7 +246,8 @@ class IncrementalKGPipeline:
         df = compute()
         if bucketed:
             snap = self.io.write_bucketed(
-                stage, df, inputs, res.run_id, affected_buckets=affected
+                stage, df, inputs, res.run_id, affected_buckets=affected,
+                n_buckets=self.n_buckets,
             )
         else:
             snap = self.io.write(stage, df, inputs, res.run_id)
@@ -276,7 +277,8 @@ class IncrementalKGPipeline:
                 self.io.read(stage).drop(BUCKET_COL)
             ).localCheckpoint(eager=True)
             snap = self.io.write_bucketed(
-                stage, df, m["inputs"], m["run_id"] + ".rebalance"
+                stage, df, m["inputs"], m["run_id"] + ".rebalance",
+                n_buckets=self.n_buckets,
             )
             if snap != m["snapshot_id"]:
                 raise RuntimeError(
@@ -318,6 +320,15 @@ class IncrementalKGPipeline:
         m = io.manifest("triple_counts")
         if not (m and m.get("complete") and m.get("bucketed")):
             raise ValueError("no complete bucketed triple_counts state to resample")
+        stored = m.get("n_buckets")
+        if stored is not None and stored != self.n_buckets:
+            raise ValueError(
+                f"triple_counts state is bucketed mod {stored} but this "
+                f"pipeline was constructed with n_buckets={self.n_buckets}; "
+                "resampling under a different modulus silently rebuckets the "
+                "state and breaks read_buckets pruning -- construct the "
+                "pipeline with the stored value (kg_admin derives it)"
+            )
         key = list(_TRIPLE_KEY)
         fresh = triple_counts_from_triples(
             io.read("triples").drop(BUCKET_COL), PROVENANCE_CAP
@@ -348,7 +359,8 @@ class IncrementalKGPipeline:
             .localCheckpoint(eager=True)
         )
         snap = io.write_bucketed(
-            "triple_counts", df, m["inputs"], m["run_id"] + ".resample"
+            "triple_counts", df, m["inputs"], m["run_id"] + ".resample",
+            n_buckets=self.n_buckets,
         )
         return {
             "stage": "triple_counts",

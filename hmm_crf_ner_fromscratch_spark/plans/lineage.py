@@ -198,8 +198,16 @@ class ParquetManifestTableIO:
         run_id: str,
         affected_buckets: list[int] | None = None,
         bucket_col: str = "bucket",
+        n_buckets: int | None = None,
     ) -> str:
         """Bucket-partitioned stage commit with a per-bucket content ledger.
+
+        ``n_buckets`` records the bucketing MODULUS in the manifest so
+        later maintenance jobs (rebalance/resample) can derive it from
+        state instead of trusting a CLI default -- running those with a
+        different modulus silently rebuckets the state and breaks
+        read_buckets pruning (round-4 ADVICE). Omitted -> inherited from
+        the stage's previous manifest when one exists.
 
         ``affected_buckets is None`` -> full overwrite of the stage.
         Otherwise ``df`` must hold the *complete new content of exactly
@@ -297,6 +305,9 @@ class ParquetManifestTableIO:
             os.path.join(self._dir(stage), "_lineage.parquet")
         )
 
+        if n_buckets is None:
+            inherit = prev if prev is not None else self.manifest(stage)
+            n_buckets = (inherit or {}).get("n_buckets")
         manifest = {
             "stage": stage,
             "snapshot_id": snapshot,
@@ -307,6 +318,7 @@ class ParquetManifestTableIO:
             "columns": cols,
             "bucketed": True,
             "bucket_col": bucket_col,
+            "n_buckets": n_buckets,
             "buckets": ledger,
             "n_files": len(lineage_rows),
             "complete": True,

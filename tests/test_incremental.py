@@ -395,3 +395,14 @@ def test_resample_provenance(spark, english_golden, tmp_path):
     io.write_bucketed("triple_counts", corrupt, m1["inputs"], "corrupt")
     with pytest.raises(RuntimeError, match="disagree"):
         inc.resample_provenance()
+
+    # modulus guard: the manifest records the bucketing modulus, and a
+    # pipeline constructed with a different n_buckets must refuse to
+    # resample (it would silently rebucket the state and break
+    # read_buckets pruning -- round-4 ADVICE)
+    assert io.manifest("triple_counts").get("n_buckets") == inc.n_buckets
+    wrong = IncrementalKGPipeline(
+        spark, str(tmp_path / "rs"), None, n_buckets=inc.n_buckets * 2
+    )
+    with pytest.raises(ValueError, match="bucketed mod"):
+        wrong.resample_provenance()

@@ -73,6 +73,9 @@ def _synth_corpus(spark, spec: str):
 
 
 def main() -> None:
+    # read BEFORE any Spark work: a reading at the end reports the
+    # sweep's own executor load, not box idleness (round-4 lesson)
+    load_start = round(os.getloadavg()[0], 2)
     from pyspark.sql import functions as F
 
     from hmm_crf_ner_fromscratch_spark.operators.similarity import (
@@ -202,7 +205,8 @@ def main() -> None:
         "occupancy_planes": occ_planes,
         "brute_force_sec_cold": round(brute_sec, 2),
         "brute_force_sec_warm": round(brute_sec_warm, 2),
-        "load_start": round(os.getloadavg()[0], 2),
+        "load_start": load_start,
+        "load_end": round(os.getloadavg()[0], 2),
         **extra_meta,
     }
     print(json.dumps({"meta": hdr}), flush=True)

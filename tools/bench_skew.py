@@ -35,7 +35,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DATA_DIR = "/tmp/bench_skew_input"
+DATA_DIR_TMPL = "/tmp/bench_skew_input_{n_turns}"
 
 
 def main() -> None:
@@ -67,13 +67,23 @@ def main() -> None:
         "conv_id", F.lit("giant_conv")
     )
     rest = synth_transcripts(spark, n_turns - half, n_convs=512, seed=11)
-    if not os.path.isdir(DATA_DIR) or not os.listdir(DATA_DIR):
-        shutil.rmtree(DATA_DIR, ignore_errors=True)
-        giant.unionByName(rest).write.mode("overwrite").parquet(DATA_DIR)
-    turns = tokenize_turns(spark.read.parquet(DATA_DIR)).select(
+    # Cache keyed by n_turns and gated on _SUCCESS: the round-4 artifact
+    # was silently measured on a stale ~20k-turn corpus because a fixed
+    # path was reused whenever non-empty (ADVICE round 4).
+    data_dir = DATA_DIR_TMPL.format(n_turns=n_turns)
+    if not os.path.exists(os.path.join(data_dir, "_SUCCESS")):
+        shutil.rmtree(data_dir, ignore_errors=True)
+        giant.unionByName(rest).write.mode("overwrite").parquet(data_dir)
+    turns = tokenize_turns(spark.read.parquet(data_dir)).select(
         "conv_id", "turn_idx", "tokens"
     )
     total_tokens = turns.select(F.sum(F.size("tokens"))).first()[0]
+    n_rows = turns.count()
+    if n_rows != n_turns:
+        raise SystemExit(
+            f"corpus at {data_dir} has {n_rows} turns, expected {n_turns} -- "
+            "stale cache? delete the dir and rerun"
+        )
 
     model = train_hmm(
         read_conll(spark, "/root/reference/English/train.txt", doc_id="t")

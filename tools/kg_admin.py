@@ -56,26 +56,42 @@ def main():
                 )
             )
         return 0
-    if cmd == "rebalance":
+    def stored_n_buckets() -> int | None:
+        """The bucketing modulus recorded in the state's own manifests
+        (any complete bucketed stage; they all share the pipeline's
+        n_buckets). None for pre-round-5 states that predate the field."""
+        for name in sorted(os.listdir(work_dir)):
+            m = io.manifest(name)
+            if m and m.get("complete") and m.get("bucketed"):
+                if m.get("n_buckets") is not None:
+                    return int(m["n_buckets"])
+        return None
+
+    if cmd in ("rebalance", "resample"):
         from hmm_crf_ner_fromscratch_spark.plans.incremental import (
             IncrementalKGPipeline,
         )
 
-        n_buckets = int(sys.argv[3]) if len(sys.argv) > 3 else 64
-        # rebalance never decodes, so no model is needed
+        stored = stored_n_buckets()
+        cli = int(sys.argv[3]) if len(sys.argv) > 3 else None
+        if cmd == "resample":
+            # resample must keep the state's modulus: a different one
+            # silently rebuckets and breaks read_buckets pruning
+            if cli is not None and stored is not None and cli != stored:
+                print(json.dumps({
+                    "error": f"state is bucketed mod {stored}, refusing "
+                             f"resample at {cli}"}))
+                return 1
+            n_buckets = stored if stored is not None else (cli or 64)
+        else:
+            # rebalance's JOB is changing the modulus; default = keep it
+            n_buckets = cli if cli is not None else (stored or 64)
+        # these ops never decode, so no model is needed
         pipe = IncrementalKGPipeline(spark, work_dir, None, n_buckets=n_buckets)
-        snaps = pipe.rebalance()
-        print(json.dumps({"rebalanced": snaps}))
-        return 0
-    if cmd == "resample":
-        from hmm_crf_ner_fromscratch_spark.plans.incremental import (
-            IncrementalKGPipeline,
-        )
-
-        n_buckets = int(sys.argv[3]) if len(sys.argv) > 3 else 64
-        # resample never decodes, so no model is needed
-        pipe = IncrementalKGPipeline(spark, work_dir, None, n_buckets=n_buckets)
-        print(json.dumps(pipe.resample_provenance()))
+        if cmd == "rebalance":
+            print(json.dumps({"rebalanced": pipe.rebalance()}))
+        else:
+            print(json.dumps(pipe.resample_provenance()))
         return 0
     if stage is None:
         print(__doc__)
