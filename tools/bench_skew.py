@@ -39,6 +39,9 @@ DATA_DIR_TMPL = "/tmp/bench_skew_input_{n_turns}"
 
 
 def main() -> None:
+    # read BEFORE any Spark work: an end-of-run reading reports this
+    # bench's own executor load, not box idleness
+    load_start = round(os.getloadavg()[0], 2)
     from pyspark.sql import functions as F
 
     from hmm_crf_ner_fromscratch_spark.operators.fused import decode_and_extract
@@ -123,7 +126,8 @@ def main() -> None:
     out["speedup"] = round(
         out["unsalted"]["decode_sec"] / out["salted"]["decode_sec"], 2
     )
-    out["load_start"] = round(os.getloadavg()[0], 2)
+    out["load_start"] = load_start
+    out["load_end"] = round(os.getloadavg()[0], 2)
     print(json.dumps(out))
     spark.stop()
 

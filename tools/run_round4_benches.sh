@@ -24,8 +24,10 @@ set -x
 python tools/bench_skew.py 2000000 4096 64 \
   > BENCH/skew.jsonl 2> /tmp/bench_skew.err
 # item 5: planes_for_corpus at 1M vectors (clustered synthetic corpus)
+# stderr to /tmp like every other step -- redirecting it into a .md
+# committed 34KB of Spark progress bars in round 4 (ADVICE)
 python tools/bench_ann.py synth:1000000 16 \
-  > BENCH/ann_sweep_1m.jsonl 2> BENCH/ann_sweep_1m.md
+  > BENCH/ann_sweep_1m.jsonl 2> /tmp/bench_ann_1m.err
 # item 8: 32-batch streaming soak (state growth vs ingested volume)
 python tools/bench_streaming.py 50000 32 32 \
   > BENCH/streaming_soak_32.jsonl 2> /tmp/bench_streaming32.err
