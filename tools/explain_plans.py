@@ -54,6 +54,14 @@ EXPECTATIONS = {
         "per-row md5); corpus bucketed in one pass; probe side broadcast; "
         "join on the int bucket key only."
     ),
+    "ann_ivf_topk": (
+        "Corpus-to-centroid assignment is ONE vectorized mapInPandas stage "
+        "(int64 matmul per Arrow batch -- round 5 replaced per-centroid "
+        "interpreted Catalyst lambdas, which cost 282-774s at 1M vectors); "
+        "probe rows broadcast; join on the int cluster key; one window for "
+        "top-k. With assign_ivf's prebuilt index the python stage leaves "
+        "the per-query path entirely."
+    ),
     "transformer_decode": (
         "Emission synthesis is pure JVM expression work (sequence/transform "
         "over md5 ints, constant-foldable parameters); ONE MapInPandas stage "
