@@ -458,8 +458,15 @@ def ivf_topk(
     queries = spark.createDataFrame(
         probe_rows, "query_id long, qq array<long>, qn long, cluster int"
     )
+    # the probed cells are known driver-side: filter BEFORE the join so
+    # the predicate reaches the scan -- with an index stored partitioned
+    # by `cluster` this is real partition pruning (read n_probe cells,
+    # not the corpus); the join alone would not prune
+    probed_cells = sorted({c for *_, c in probe_rows})
     pairs = F.broadcast(queries).join(
-        corpus.select(F.col("vec_id").alias("neighbor_id"), "q", "nrm", "cluster"),
+        corpus.where(F.col("cluster").isin(probed_cells)).select(
+            F.col("vec_id").alias("neighbor_id"), "q", "nrm", "cluster"
+        ),
         "cluster",
     ).where(F.col("query_id") != F.col("neighbor_id"))
     dot = F.aggregate(
