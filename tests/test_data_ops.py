@@ -282,6 +282,17 @@ def test_lsh_topk_vs_brute_force(spark):
     # every query answered
     assert {q for q, _ in ap_pairs} == set(qids)
 
+    # hamming-2 probing scans a strict superset of the h1 buckets, so its
+    # candidate set -- and therefore recall -- can only grow; scores stay
+    # exact where pairs overlap
+    h2 = lsh_topk(emb, qids, k=10, n_planes=4, probe_bits=2)
+    h2_pairs = {(r.query_id, r.neighbor_id): r.sim for r in h2.collect()}
+    for key, v in h2_pairs.items():
+        if key in bf_pairs:
+            assert v == bf_pairs[key]
+    recall_h2 = len(set(h2_pairs) & set(bf_pairs)) / len(bf_pairs)
+    assert recall_h2 >= recall, (recall_h2, recall)
+
 
 def test_ivf_topk_on_clustered_vectors(spark):
     """IVF is the scale path for clustered embeddings: on a synthetic
