@@ -25,8 +25,10 @@ set -x
 python tools/bench_streaming.py 50000 32 32 \
   > BENCH/streaming_soak_32_r5.jsonl 2> /tmp/bench_streaming32_r5.err
 # verdict item 7: CRF fused-decode scaling at 2/8/32 cores (200k turns
-# keeps the 2-core leg ~10 min at ~1.2k tok/s/core)
-python tools/bench_scaling.py 200000 --plain --crf \
+# keeps the 2-core leg ~10 min at ~1.2k tok/s/core); spark-submit
+# --py-files launcher = the north-rule deployment path (same as the
+# HMM scaling artifact)
+python tools/bench_scaling.py 200000 --crf \
   > BENCH/scaling_crf.jsonl 2> /tmp/bench_scaling_crf.err
 # round-5 bench artifact on the same idle window
 python bench.py > /tmp/bench_r5_final.json 2> /tmp/bench_r5_final.err
