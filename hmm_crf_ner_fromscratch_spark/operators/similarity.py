@@ -369,6 +369,25 @@ def assign_ivf(
     return _assign_cluster(quantized(emb, vec_col, id_col), codebook)
 
 
+def save_ivf_index(index: DataFrame, path: str) -> None:
+    """Persist an :func:`assign_ivf` index as parquet PARTITIONED BY
+    cluster: :func:`ivf_topk`'s probed-cell ``isin`` filter then becomes
+    partition pruning -- a query reads its ``n_probe`` cell directories,
+    not the corpus. At 100 TB this pair (build job writes the
+    partitioned index, queries prune to cells) is the production
+    layout."""
+    index.write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+
+def load_ivf_index(spark, path: str) -> DataFrame:
+    """Read an index written by :func:`save_ivf_index`, restoring the
+    (vec_id, q, nrm, cluster) shape assign_ivf produces (partitionBy
+    moves `cluster` to a directory key; reorder and retype it)."""
+    return spark.read.parquet(path).select(
+        "vec_id", "q", "nrm", F.col("cluster").cast("int").alias("cluster")
+    )
+
+
 def save_codebook(centroids, path: str) -> None:
     """Persist an IVF codebook (int64 milli-unit centroids) as JSON --
     tiny (n_clusters x dim ints), engine-portable, diff-able."""

@@ -355,6 +355,23 @@ def test_ivf_topk_on_clustered_vectors(spark):
     with pytest.raises(ValueError):
         ivf_topk(None, qids, index=idx)  # index without codebook
 
+    # parquet round-trip partitioned by cluster: the probed-cell isin
+    # filter becomes partition pruning on this layout; results identical
+    from hmm_crf_ner_fromscratch_spark.operators.similarity import (
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        save_ivf_index(assign_ivf(emb, C2), f"{d}/ivf")
+        import os
+
+        assert any(p.startswith("cluster=") for p in os.listdir(f"{d}/ivf"))
+        loaded = load_ivf_index(emb.sparkSession, f"{d}/ivf")
+        pq = ivf_topk(None, qids, k=10, n_probe=2, codebook=C2, index=loaded)
+        pq_pairs = {(r.query_id, r.neighbor_id): r.sim for r in pq.collect()}
+        assert pq_pairs == ap_pairs
+
 
 def test_lsh_auto_config_recall_aware():
     """The auto (planes, probe_bits) choice must clear the modeled recall
