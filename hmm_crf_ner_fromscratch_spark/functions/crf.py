@@ -458,131 +458,328 @@ def build_obs_lists(
 def viterbi_decode_crf_batch(
     token_lists: list, tables: DecodeTables
 ) -> list[list[str]]:
-    """Batch decoder: identical results to per-sentence
-    :func:`viterbi_decode_crf` (same piece vectors summed in the same rule
-    order -> bit-equal float32), but per-(rule, obs) work is memoized
-    across the WHOLE batch and U-vector assembly is vectorized:
+    """Fully vectorized batch decoder: identical tag sequences to
+    per-sentence :func:`viterbi_decode_crf` (same float32 piece vectors
+    summed in the same rule order per element), with NO per-position
+    Python in the hot path:
 
-      * for each rule, every unique obs string is looked up once; the
-        per-position U matrix is a sum of 10 fancy-indexed piece matrices;
+      * all sentences are flattened into one position axis (t = 0..T per
+        sentence, incl. the STOP slot); words are factorized once
+        (``pd.factorize``) and each transform is applied to the *unique*
+        words only, so per-(transform, offset) observation columns are
+        integer code arrays built by shifted gathers;
+      * per template, feature weights are resolved per *unique* obs code
+        (one dict lookup each) and scattered into the flat (P, K) unigram
+        matrix with a single fancy-indexed ``+=`` per rule -- rule order
+        preserved, so float32 accumulation order matches the scalar path;
       * most positions have NO observation-dependent bigram features
-        (B_obs keys exist only for gold-path contexts), so their (K, K)
-        transition block is exactly the shared B_pure matrix -- only the
-        exceptional positions build a custom matrix.
+        (B_obs keys exist only for gold-path contexts); the rare
+        exceptional positions get a custom (K, K) block, everything else
+        shares B_pure;
+      * the Viterbi DP itself runs batched across sentences: sentences are
+        sorted by length (desc) and chunked, and each time step does one
+        (n_active, K, K) broadcast-add + argmax for the whole chunk.
+        ``pots = bp + U[t]`` then ``dp[:, None] + pots`` keeps the exact
+        per-element float32 add order of the reference accumulation.
 
-    This removes the per-position python/dict overhead that made naive CRF
-    decode ~40x slower than the HMM path.
+    The only remaining zero-add identity difference vs the scalar path is
+    STOP rows starting from 0.0 instead of copying ``bp_stop`` (x + 0.0f
+    == x for every float except -0.0, and a sign-of-zero difference can
+    never flip a comparison), so decoded paths are identical.
     """
+    import pandas as pd
+
     K = tables.K
     if K == 0:
         return [[] for _ in token_lists]
     u_tpls, b_tpls = tables.u_templates, tables.b_templates
-    n_rules_u = len(u_tpls)
-    zero_vec = np.zeros(K, dtype=np.float32)
 
     out: list[list[str]] = [None] * len(token_lists)
-    sent_idx = [i for i, t in enumerate(token_lists) if len(t) > 0]
+    sids: list[int] = []
+    sents: list[list] = []
     for i, t in enumerate(token_lists):
         if len(t) == 0:
             out[i] = []
-    if not sent_idx:
+        else:
+            sids.append(i)
+            sents.append(t)
+    if not sents:
         return out
 
-    # per-rule memo caches for this batch
-    u_cache: list[dict] = [dict() for _ in range(n_rules_u)]
-    us_cache: list[dict] = [dict() for _ in range(n_rules_u)]
-    bo_cache: list[dict] = [dict() for _ in range(len(b_tpls))]
-    bostop_cache: list[dict] = [dict() for _ in range(len(b_tpls))]
+    S = len(sents)
+    lengths = np.array([len(w) for w in sents], dtype=np.int64)
+    word_start = np.zeros(S, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=word_start[1:])
+    npos = lengths + 1  # positions 0..T inclusive (T = STOP slot)
+    pos_start = np.zeros(S, dtype=np.int64)
+    np.cumsum(npos[:-1], out=pos_start[1:])
+    P = int(npos.sum())
 
-    all_tpls = u_tpls + b_tpls
+    flat_words = np.empty(int(lengths.sum()), dtype=object)
+    k = 0
+    for w in sents:
+        flat_words[k : k + len(w)] = w
+        k += len(w)
 
-    for i in sent_idx:
-        words = token_lists[i]
-        T = len(words)
-        obs_per_tpl = build_obs_lists(words, all_tpls)
-        u_obs = obs_per_tpl[:n_rules_u]
-        b_obs = obs_per_tpl[n_rules_u:]
+    sent_of = np.repeat(np.arange(S), npos)
+    t_local = np.arange(P, dtype=np.int64) - pos_start[sent_of]
+    slen = lengths[sent_of]
+    wstart = word_start[sent_of]
+    is_word = t_local < slen
+    mid_idx = np.nonzero((t_local >= 1) & is_word)[0]
+    first_rows = pos_start
+    stop_rows = pos_start + lengths
 
-        # --- U matrix for positions 0..T-1 and STOP scalar at T ---
-        U = np.zeros((T, K), dtype=np.float32)
-        u_stop = np.float32(0.0)
-        for r in range(n_rules_u):
-            cache, scache = u_cache[r], us_cache[r]
-            vec_map = tables.u_vec
-            olist = u_obs[r]
-            for t in range(T):
-                obs = olist[t]
-                v = cache.get(obs)
-                if v is None:
-                    v = vec_map.get((r, obs), zero_vec)
-                    cache[obs] = v
-                if v is not zero_vec:
-                    U[t] += v
-            obs = olist[T]
-            s = scache.get(obs)
-            if s is None:
-                s = tables.u_stop.get((r, obs), np.float32(0.0))
-                scache[obs] = s
-            u_stop = u_stop + s
-
-        # --- start vector ---
-        dp = U[0].copy()
-        for r in range(len(b_tpls)):
-            vec = tables.bo_start.get((r, b_obs[r][0]))
-            if vec is not None:
-                dp += vec
-        dp += tables.bp_start
-
-        # --- recursion ---
-        bp = np.zeros((T, K), dtype=np.int64)
-        rng = np.arange(K)
-        for t in range(1, T):
-            trans = None
-            for r in range(len(b_tpls)):
-                obs = b_obs[r][t]
-                cache = bo_cache[r]
-                cells = cache.get(obs, False)
-                if cells is False:
-                    cells = tables.bo_cells.get((r, obs))
-                    cache[obs] = cells
-                if cells:
-                    if trans is None:
-                        trans = np.zeros((K, K), dtype=np.float32)
-                    for pi, ci, wt in cells:
-                        trans[pi, ci] += wt
-            if trans is None:
-                pots = tables.bp + U[t][None, :]
-            else:
-                trans += tables.bp
-                pots = trans + U[t][None, :]
-            combined = dp[:, None] + pots
-            bp[t] = np.argmax(combined, axis=0)
-            dp = combined[bp[t], rng]
-
-        # --- termination ---
-        stop = None
-        for r in range(len(b_tpls)):
-            obs = b_obs[r][T]
-            cache = bostop_cache[r]
-            vec = cache.get(obs, False)
-            if vec is False:
-                vec = tables.bo_stop.get((r, obs))
-                cache[obs] = vec
-            if vec is not None:
-                if stop is None:
-                    stop = np.zeros(K, dtype=np.float32)
-                stop += vec
-        if stop is None:
-            stop = tables.bp_stop.copy()
+    # --- factorize words once; apply transforms to unique words only ---
+    wcodes, wuniq = pd.factorize(flat_words)
+    wuniq = np.asarray(wuniq, dtype=object)
+    xf_data: dict[str, tuple] = {}
+    for _, _, xf in u_tpls + b_tpls:
+        if xf in xf_data:
+            continue
+        if xf == "w":
+            tvals = wuniq
         else:
-            stop += tables.bp_stop
-        stop += u_stop
-        final = dp + stop
-        path = np.zeros(T, dtype=np.int64)
-        path[T - 1] = int(np.argmax(final))
-        for t in range(T - 2, -1, -1):
-            path[t] = bp[t + 1][path[t + 1]]
-        out[i] = [tables.tags[j] for j in path]
+            tvals = np.array([apply_xform(w, xf) for w in wuniq], dtype=object)
+        tail = np.array(
+            [apply_xform("BOS", xf), apply_xform("EOS", xf)], dtype=object
+        )
+        tcodes, tuniq = pd.factorize(np.concatenate([tvals, tail]))
+        xf_data[xf] = (
+            tcodes[:-2][wcodes] if len(wcodes) else np.empty(0, np.int64),
+            np.asarray(tuniq, dtype=object),
+            int(tcodes[-2]),
+            int(tcodes[-1]),
+        )
+
+    # per-(transform, offset) observation code columns over all P positions
+    col_cache: dict[tuple, np.ndarray] = {}
+
+    def col(xf: str, o: int) -> np.ndarray:
+        key = (xf, o)
+        c = col_cache.get(key)
+        if c is None:
+            word_code, _, bos_c, eos_c = xf_data[xf]
+            idx = t_local + o
+            c = np.empty(P, dtype=np.int64)
+            lo = idx < 0
+            hi = idx >= slen
+            ok = ~(lo | hi)
+            c[lo] = bos_c
+            c[hi] = eos_c
+            c[ok] = word_code[wstart[ok] + idx[ok]]
+            col_cache[key] = c
+        return c
+
+    # per-template: (codes over P, unique obs strings indexed by code)
+    tpl_cache: dict[tuple, tuple] = {}
+
+    def template_codes(offs: tuple, xf: str) -> tuple:
+        key = (offs, xf)
+        got = tpl_cache.get(key)
+        if got is None:
+            tuniq = xf_data[xf][1]
+            if len(offs) == 1:
+                got = (col(xf, offs[0]), tuniq)
+            else:
+                cols = [col(xf, o) for o in offs]
+                n = len(tuniq)
+                if n ** len(offs) < (1 << 62):
+                    comb = cols[0].copy()
+                    for cc in cols[1:]:
+                        comb = comb * n + cc
+                    ucomb, inv = np.unique(comb, return_inverse=True)
+                    digits = []
+                    rem = ucomb.copy()
+                    for _ in range(len(offs) - 1):
+                        digits.append(rem % n)
+                        rem //= n
+                    digits.append(rem)
+                    digits.reverse()
+                    strs = np.array(
+                        [
+                            "/".join(tuniq[d[j]] for d in digits)
+                            for j in range(len(ucomb))
+                        ],
+                        dtype=object,
+                    )
+                else:  # pathological vocab size: stack-based unique
+                    stacked = np.stack(cols)
+                    ucomb, inv = np.unique(
+                        stacked, axis=1, return_inverse=True
+                    )
+                    strs = np.array(
+                        [
+                            "/".join(tuniq[ucomb[d, j]] for d in range(len(offs)))
+                            for j in range(ucomb.shape[1])
+                        ],
+                        dtype=object,
+                    )
+                got = (inv, strs)
+            tpl_cache[key] = got
+        return got
+
+    # --- unigram features: flat (P, K) matrix + STOP scalars, rule order ---
+    U_flat = np.zeros((P, K), dtype=np.float32)
+    u_stop_flat = np.zeros(P, dtype=np.float32)
+    stop_code_cache: dict[tuple, tuple] = {}
+
+    def stop_uniques(codes):
+        key = id(codes)
+        got = stop_code_cache.get(key)
+        if got is None:
+            got = np.unique(codes[stop_rows], return_inverse=True)
+            stop_code_cache[key] = got
+        return got
+
+    for r, (_, offs, xf) in enumerate(u_tpls):
+        codes, uniq_strs = template_codes(offs, xf)
+        uget = tables.u_vec.get
+        ids = np.full(len(uniq_strs), -1, dtype=np.int64)
+        rows: list[np.ndarray] = []
+        for j in range(len(uniq_strs)):
+            v = uget((r, uniq_strs[j]))
+            if v is not None:
+                ids[j] = len(rows)
+                rows.append(v)
+        if rows:
+            mat = np.stack(rows)
+            pid = ids[codes]
+            m = (pid >= 0) & is_word
+            if m.any():
+                U_flat[m] += mat[pid[m]]
+        if tables.u_stop:
+            uc, inv = stop_uniques(codes)
+            sget = tables.u_stop.get
+            svals = np.zeros(len(uc), dtype=np.float32)
+            shit = np.zeros(len(uc), dtype=bool)
+            for j in range(len(uc)):
+                x = sget((r, uniq_strs[uc[j]]))
+                if x is not None:
+                    svals[j] = x
+                    shit[j] = True
+            if shit.any():
+                m = shit[inv]
+                u_stop_flat[stop_rows[m]] += svals[inv[m]]
+
+    # --- bigram features: START/STOP vectors + per-position (K, K) blocks.
+    # Each feature key is unique per (rule, obs, prev, cur), so a rule's
+    # cells touch each (prev, cur) cell at most once -- summing dense
+    # per-(rule, obs) blocks in rule order is bit-identical to the scalar
+    # path's cell-at-a-time accumulation. ---
+    START = U_flat[first_rows].copy()  # dp[0] = U at pos 0, then B adds
+    STOP = np.zeros((S, K), dtype=np.float32)
+    trans_id = np.full(P, -1, dtype=np.int64)  # flat pos -> row into TR
+    TR = None
+    per_rule_blocks: list[tuple] = []
+    any_hit = (
+        np.zeros(len(mid_idx), dtype=bool) if len(mid_idx) else None
+    )
+    for r, (_, offs, xf) in enumerate(b_tpls):
+        codes, uniq_strs = template_codes(offs, xf)
+        if tables.bo_start:
+            c0 = codes[first_rows]
+            uc, inv = np.unique(c0, return_inverse=True)
+            ids = np.full(len(uc), -1, dtype=np.int64)
+            rows = []
+            for j in range(len(uc)):
+                v = tables.bo_start.get((r, uniq_strs[uc[j]]))
+                if v is not None:
+                    ids[j] = len(rows)
+                    rows.append(v)
+            if rows:
+                mat = np.stack(rows)
+                pid = ids[inv]
+                m = pid >= 0
+                START[m] += mat[pid[m]]
+        if tables.bo_stop:
+            uc, inv = stop_uniques(codes)
+            ids = np.full(len(uc), -1, dtype=np.int64)
+            rows = []
+            for j in range(len(uc)):
+                v = tables.bo_stop.get((r, uniq_strs[uc[j]]))
+                if v is not None:
+                    ids[j] = len(rows)
+                    rows.append(v)
+            if rows:
+                mat = np.stack(rows)
+                pid = ids[inv]
+                m = pid >= 0
+                STOP[m] += mat[pid[m]]
+        if tables.bo_cells and len(mid_idx):
+            cm = codes[mid_idx]
+            uc, inv = np.unique(cm, return_inverse=True)
+            ids = np.full(len(uc), -1, dtype=np.int64)
+            blocks = []
+            for j in range(len(uc)):
+                cl = tables.bo_cells.get((r, uniq_strs[uc[j]]))
+                if cl:
+                    b = np.zeros((K, K), dtype=np.float32)
+                    for pi, ci, wt in cl:
+                        b[pi, ci] += wt
+                    ids[j] = len(blocks)
+                    blocks.append(b)
+            if blocks:
+                pid = ids[inv]
+                hit = pid >= 0
+                any_hit |= hit
+                per_rule_blocks.append((np.stack(blocks), pid, hit))
+    if per_rule_blocks:
+        exc_mid = np.nonzero(any_hit)[0]  # indices into mid_idx
+        eid_of_mid = np.full(len(mid_idx), -1, dtype=np.int64)
+        eid_of_mid[exc_mid] = np.arange(len(exc_mid))
+        TR = np.zeros((len(exc_mid), K, K), dtype=np.float32)
+        for blocks, pid, hit in per_rule_blocks:  # rule order preserved
+            h = np.nonzero(hit)[0]
+            TR[eid_of_mid[h]] += blocks[pid[h]]
+        trans_id[mid_idx[exc_mid]] = np.arange(len(exc_mid))
+    START += tables.bp_start
+    STOP += tables.bp_stop
+    STOP += u_stop_flat[stop_rows][:, None]
+
+    # --- chunked batch DP over length-sorted sentences ---
+    order = np.argsort(-lengths, kind="stable")
+    taglut = np.array(tables.tags, dtype=object)
+    bp_mat = tables.bp
+    ptr_dtype = np.int8 if K <= 127 else np.int32
+    CHUNK = 1024
+    for c0 in range(0, S, CHUNK):
+        chunk = order[c0 : c0 + CHUNK]
+        cl = lengths[chunk]  # descending
+        nc = len(chunk)
+        maxT = int(cl[0])
+        first = pos_start[chunk]
+        dp = START[chunk].copy()
+        bptr = np.zeros((maxT, nc, K), dtype=ptr_dtype)
+        for t in range(1, maxT):
+            nt = int(np.searchsorted(-cl, -(t + 1), side="right"))
+            rows_t = first[:nt] + t
+            Ut = U_flat[rows_t]
+            pots = bp_mat[None, :, :] + Ut[:, None, :]
+            if TR is not None:
+                tid = trans_id[rows_t]
+                m = tid >= 0
+                if m.any():
+                    pots[m] = (TR[tid[m]] + bp_mat[None, :, :]) + Ut[m][
+                        :, None, :
+                    ]
+            combined = dp[:nt, :, None] + pots
+            am = np.argmax(combined, axis=1)
+            bptr[t, :nt] = am
+            dp[:nt] = np.take_along_axis(combined, am[:, None, :], axis=1)[
+                :, 0, :
+            ]
+        final = dp + STOP[chunk]
+        last = np.argmax(final, axis=1)
+        paths = np.zeros((nc, maxT), dtype=np.int64)
+        paths[np.arange(nc), cl - 1] = last
+        for t in range(maxT - 2, -1, -1):
+            na = int(np.searchsorted(-cl, -(t + 2), side="right"))
+            if na:
+                paths[:na, t] = bptr[t + 1, np.arange(na), paths[:na, t + 1]]
+        for jj in range(nc):
+            T = int(cl[jj])
+            out[sids[chunk[jj]]] = taglut[paths[jj, :T]].tolist()
     return out
 
 
