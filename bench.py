@@ -75,6 +75,85 @@ def _steal_probe(seconds: float = 2.0) -> float:
         return -1.0
 
 
+def _env_forensics(sf_dir: str) -> dict:
+    """Environment snapshot recorded into the artifact so a driver-run
+    bench that disagrees with an idle twin carries its own explanation
+    (two rounds running, the driver artifact read ~1.6x slower than a
+    same-code idle run at similar load_start -- uniformly across queries,
+    including sub-second CPU-light ones, which implicates the CPU/host
+    environment rather than any one plan)."""
+    import shutil
+
+    env: dict = {}
+    # scheduling: can this process actually use all 32 cores?
+    try:
+        env["affinity_cores"] = len(os.sched_getaffinity(0))
+    except Exception:
+        env["affinity_cores"] = None
+    try:  # cgroup v2 CPU quota ("max 100000" = unlimited)
+        with open("/sys/fs/cgroup/cpu.max") as f:
+            env["cgroup_cpu_max"] = f.read().strip()
+    except Exception:
+        env["cgroup_cpu_max"] = None
+    # single-core compute probe: fixed numpy matmul, a direct "how fast is
+    # one core right now" number independent of Spark and of I/O
+    import numpy as np
+
+    a = np.random.default_rng(0).random((1200, 1200))
+    a @ a  # BLAS thread-pool warmup; untimed on both probes
+    t0 = time.time()
+    for _ in range(3):
+        a @ a
+    env["cpu_probe_matmul_sec"] = round(time.time() - t0, 3)
+    # page-cache probe: read one input file twice; cold/warm ratio >> 1
+    # means the corpus was not cached when the bench started
+    probe = None
+    try:
+        import glob
+
+        cands = sorted(glob.glob(os.path.join(sf_dir, "lineitem.parquet", "*.parquet")))
+        if not cands:
+            cands = sorted(glob.glob(os.path.join(sf_dir, "*.parquet")))
+            cands = [c for c in cands if os.path.isfile(c)]
+        if cands:
+            probe = cands[0]
+    except Exception:
+        pass
+    if probe:
+        def _read(path):
+            t = time.time()
+            with open(path, "rb") as f:
+                while f.read(1 << 22):
+                    pass
+            return round(time.time() - t, 4)
+
+        env["input_read_cold_sec"] = _read(probe)
+        env["input_read_warm_sec"] = _read(probe)
+        env["input_probe_bytes"] = os.path.getsize(probe)
+    # memory + scratch space
+    try:
+        mi = {}
+        with open("/proc/meminfo") as f:
+            for line in f:
+                k, v = line.split(":", 1)
+                mi[k] = v.strip()
+        env["mem_available"] = mi.get("MemAvailable")
+        env["mem_cached"] = mi.get("Cached")
+    except Exception:
+        pass
+    try:
+        env["tmp_free_gb"] = round(shutil.disk_usage("/tmp").free / 2**30, 1)
+    except Exception:
+        pass
+    try:  # current effective clock (throttling shows up here)
+        with open("/proc/cpuinfo") as f:
+            mhz = [float(l.split(":")[1]) for l in f if l.startswith("cpu MHz")]
+        env["cpu_mhz_mean"] = round(sum(mhz) / len(mhz), 0) if mhz else None
+    except Exception:
+        pass
+    return env
+
+
 def _wait_for_idle() -> float:
     """Return the 1-min load at (re)start; wait up to LOAD_WAIT_SEC for it
     to drop below LOAD_WARN so BENCH artifacts can't silently publish
@@ -100,6 +179,8 @@ def main() -> None:
 
     load_start = _wait_for_idle()
     steal_pct = _steal_probe()
+    sf_dir_early = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    env_forensics = _env_forensics(sf_dir_early)
     if steal_pct > STEAL_WARN_PCT:
         print(f"# WARNING: hypervisor steal {steal_pct}% under load; timings "
               "are degraded by a noisy host neighbor", file=sys.stderr)
@@ -128,13 +209,21 @@ def main() -> None:
     decode_and_extract(warm, warm_model, key_cols=("conv_id", "turn_idx")).count()
 
     timings: dict[str, float] = {}
+    query_load: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
+        query_load[name] = round(os.getloadavg()[0], 2)
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    # repeat probe: re-run one cheap query; a large first/second gap under
+    # equal load means the first run paid a cold cache, not a slow engine
+    t0 = time.time()
+    QUERIES["word_count"](spark, sf_dir).count()
+    word_count_repeat = round(time.time() - t0, 3)
 
     # decode throughput proper: model trained untimed, fused decode timed
     from hmm_crf_ner_fromscratch_spark.operators.hmm import train_hmm
@@ -181,6 +270,15 @@ def main() -> None:
     timings["crf_decode_fused"] = round(time.time() - t0, 3)
     tagged.unpersist()
 
+    # end-of-run CPU probe: if this reads much slower than the start probe,
+    # the box slowed down DURING the bench (thermal / noisy neighbor)
+    a = np.random.default_rng(0).random((1200, 1200))
+    a @ a
+    t0 = time.time()
+    for _ in range(3):
+        a @ a
+    env_forensics["cpu_probe_end_sec"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     decode_tps = (
         round(all_tokens / timings["decode_fused"]) if timings.get("decode_fused") else None
@@ -206,6 +304,9 @@ def main() -> None:
                 "load_start": round(load_start, 2),
                 "load_end": round(os.getloadavg()[0], 2),
                 "steal_pct": steal_pct,
+                "query_load": query_load,
+                "word_count_repeat": word_count_repeat,
+                "env": env_forensics,
             }
         )
     )
