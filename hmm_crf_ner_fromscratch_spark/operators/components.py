@@ -172,12 +172,20 @@ def connected_components(
             "component", F.col("key")
         )
     if n_sym <= local_threshold:
+        import pandas as pd
+
         spark = edges.sparkSession
         rows = _local_components([(r.u, r.v) for r in sym.collect()])
         schema = sym.select(
             F.col("u").alias("key"), F.col("v").alias("component")
         ).schema
-        return spark.createDataFrame(rows, schema)
+        # pandas -> Arrow LocalTableScan: createDataFrame on a plain list
+        # builds a pickled python RDD with defaultParallelism partitions,
+        # which every downstream consumer pays python-worker roundtrips to
+        # scan (and which coalesce(1) turns into ~4 s of sequential drains)
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["key", "component"]), schema
+        )
     labels = sym.select(F.col("u").alias("key")).distinct().withColumn(
         "component", F.col("key")
     )

@@ -96,8 +96,10 @@ def classification_report_pairs(pairs: DataFrame, labels: list[str]) -> DataFram
     from functools import reduce
 
     spark = pairs.sparkSession
-    lab = spark.createDataFrame(
-        [(i, l) for i, l in enumerate(labels)], "label_idx int, label string"
+    from ..session import local_df
+
+    lab = local_df(
+        spark, [(i, l) for i, l in enumerate(labels)], "label_idx int, label string"
     )
     per_gold = (
         pairs.where(F.col("gold").isin(labels))

