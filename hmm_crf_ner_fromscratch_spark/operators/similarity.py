@@ -115,9 +115,12 @@ P_FLIP_COS09 = 0.14358  # acos(0.9)/pi: P(one random plane splits a cos=0.9 pair
 
 
 def lsh_auto_config(
-    n_rows: int, target_recall: float = 0.9, p_flip: float = P_FLIP_COS09
+    target_recall: float = 0.9, p_flip: float = P_FLIP_COS09
 ) -> tuple[int, int]:
-    """Recall-aware (n_planes, probe_bits) for top-k LSH.
+    """Recall-aware (n_planes, probe_bits) for top-k LSH. Depends only on
+    the recall target and the assumed neighbor similarity -- NOT on corpus
+    size (the modeled recall/scan-fraction tradeoff is row-count-free), so
+    callers never need a count() job to configure it.
 
     Model: a true neighbor at cos ~= 0.9 lands within hamming distance h
     of the query's bucket with probability
@@ -159,16 +162,19 @@ def lsh_auto_config(
 
 
 def _probe_set(n_planes: int, probe_bits: int):
-    """All hamming-<=probe_bits flip masks (excluding 0), as ints."""
+    """All hamming-<=probe_bits flip masks (excluding 0), as ints, in
+    ascending hamming order (depth h grows the probe set combinatorially:
+    C(n_planes, h) buckets per level -- callers asking for deep probes get
+    exactly what they asked for, never a silent cap)."""
+    from itertools import combinations
+
     flips = []
-    if probe_bits >= 1:
-        flips += [1 << p for p in range(n_planes)]
-    if probe_bits >= 2:
-        flips += [
-            (1 << a) | (1 << b)
-            for a in range(n_planes)
-            for b in range(a + 1, n_planes)
-        ]
+    for h in range(1, probe_bits + 1):
+        for combo in combinations(range(n_planes), h):
+            m = 0
+            for p in combo:
+                m |= 1 << p
+            flips.append(m)
     return flips
 
 
@@ -191,17 +197,19 @@ def lsh_topk(
 
     ``probe_bits=None`` -> 1 if ``multi_probe`` else 0 (back-compat).
 
-    ``n_planes=None`` picks (planes, probe_bits) from the corpus size via
-    :func:`lsh_auto_config` (one count() job): the recall-aware default.
-    Round 4's 1M-vector sweep showed the earlier occupancy-targeted
-    default (12 planes, 1-bit probe) lands at recall@10 0.625 where fixed
-    6 planes gets 0.8875 -- occupancy is the near-dup objective, not the
-    top-k one (see lsh_auto_config)."""
+    ``n_planes=None`` picks (planes, probe_bits) via
+    :func:`lsh_auto_config` -- the recall-aware default, corpus-size-free
+    (no count() job). Round 4's 1M-vector sweep showed the earlier
+    occupancy-targeted default (12 planes, 1-bit probe) lands at recall@10
+    0.625 where fixed 6 planes gets 0.8875 -- occupancy is the near-dup
+    objective, not the top-k one (see lsh_auto_config). An explicit
+    ``multi_probe=False`` still means single-bucket lookup here
+    (probe_bits 0), overriding the auto probe depth."""
     if n_planes is None:
-        auto_planes, auto_bits = lsh_auto_config(emb.count())
+        auto_planes, auto_bits = lsh_auto_config()
         n_planes = auto_planes
         if probe_bits is None:
-            probe_bits = auto_bits
+            probe_bits = auto_bits if multi_probe else 0
     if probe_bits is None:
         probe_bits = 1 if multi_probe else 0
     base = add_lsh_bucket(quantized(emb, vec_col, id_col), n_planes, dim)
@@ -369,20 +377,67 @@ def assign_ivf(
     return _assign_cluster(quantized(emb, vec_col, id_col), codebook)
 
 
-def save_ivf_index(index: DataFrame, path: str) -> None:
+def codebook_fingerprint(centroids) -> str:
+    """Content hash of an IVF codebook (shape + int64 milli-unit values).
+    Persisted next to a saved index so a query can detect the
+    index/codebook mismatch that would otherwise silently probe the wrong
+    cells (same pattern as stage manifests recording n_buckets)."""
+    import hashlib
+
+    import numpy as np
+
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.int64))
+    h = hashlib.sha256()
+    h.update(str(C.shape).encode())
+    h.update(C.tobytes())
+    return h.hexdigest()
+
+
+def save_ivf_index(index: DataFrame, path: str, codebook=None) -> None:
     """Persist an :func:`assign_ivf` index as parquet PARTITIONED BY
     cluster: :func:`ivf_topk`'s probed-cell ``isin`` filter then becomes
     partition pruning -- a query reads its ``n_probe`` cell directories,
     not the corpus. At 100 TB this pair (build job writes the
     partitioned index, queries prune to cells) is the production
-    layout."""
+    layout.
+
+    ``codebook`` (the centroids the index was assigned with) additionally
+    writes a fingerprint sidecar; :func:`load_ivf_index` then verifies the
+    query-time codebook matches the build-time one."""
+    import json
+    import os
+
     index.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    if codebook is not None:
+        with open(os.path.join(path, "_codebook.json"), "w") as f:
+            json.dump({"fingerprint": codebook_fingerprint(codebook)}, f)
 
 
-def load_ivf_index(spark, path: str) -> DataFrame:
+def load_ivf_index(spark, path: str, codebook=None) -> DataFrame:
     """Read an index written by :func:`save_ivf_index`, restoring the
     (vec_id, q, nrm, cluster) shape assign_ivf produces (partitionBy
-    moves `cluster` to a directory key; reorder and retype it)."""
+    moves `cluster` to a directory key; reorder and retype it).
+
+    ``codebook`` -> verify it against the fingerprint the index was saved
+    with (raises on mismatch -- probing with foreign centroids silently
+    returns wrong/low-recall neighbors). Indexes saved without a
+    fingerprint load as before."""
+    import json
+    import os
+
+    if codebook is not None:
+        fp_path = os.path.join(path, "_codebook.json")
+        if os.path.exists(fp_path):
+            with open(fp_path) as f:
+                saved = json.load(f).get("fingerprint")
+            got = codebook_fingerprint(codebook)
+            if saved != got:
+                raise ValueError(
+                    f"codebook mismatch for IVF index at {path}: saved "
+                    f"fingerprint {saved[:12]}.. != query codebook "
+                    f"{got[:12]}.. -- rebuild the index (assign_ivf) or "
+                    "load the codebook it was built with"
+                )
     return spark.read.parquet(path).select(
         "vec_id", "q", "nrm", F.col("cluster").cast("int").alias("cluster")
     )

@@ -363,14 +363,22 @@ def test_ivf_topk_on_clustered_vectors(spark):
     )
 
     with tempfile.TemporaryDirectory() as d:
-        save_ivf_index(assign_ivf(emb, C2), f"{d}/ivf")
+        save_ivf_index(assign_ivf(emb, C2), f"{d}/ivf", codebook=C2)
         import os
 
         assert any(p.startswith("cluster=") for p in os.listdir(f"{d}/ivf"))
-        loaded = load_ivf_index(emb.sparkSession, f"{d}/ivf")
+        loaded = load_ivf_index(emb.sparkSession, f"{d}/ivf", codebook=C2)
         pq = ivf_topk(None, qids, k=10, n_probe=2, codebook=C2, index=loaded)
         pq_pairs = {(r.query_id, r.neighbor_id): r.sim for r in pq.collect()}
         assert pq_pairs == ap_pairs
+        # a mismatched codebook must be rejected at load time (probing
+        # foreign centroids silently returns wrong cells otherwise)
+        import numpy as np
+
+        with pytest.raises(ValueError, match="codebook mismatch"):
+            load_ivf_index(
+                emb.sparkSession, f"{d}/ivf", codebook=np.asarray(C2) + 1
+            )
 
 
 def test_lsh_auto_config_recall_aware():
@@ -392,7 +400,7 @@ def test_lsh_auto_config_recall_aware():
             for i in range(bits + 1)
         )
 
-    planes, bits = lsh_auto_config(1_000_000)
+    planes, bits = lsh_auto_config()
     assert model_recall(planes, bits) >= 0.9
     # the occupancy default picked 12 planes at 1M; the recall-aware one
     # must probe deeper and use fewer planes than that
@@ -401,9 +409,10 @@ def test_lsh_auto_config_recall_aware():
     # scanned fraction stays bounded (not a degenerate full scan)
     scan = sum(comb(planes, i) for i in range(bits + 1)) / 2**planes
     assert scan <= 0.25, scan
-    # config is by design corpus-size independent (recall model and
-    # scanned FRACTION both cancel n); spot-check stability
-    assert lsh_auto_config(10_000_000) == (planes, bits)
+    # config is by design corpus-size independent: the signature takes no
+    # row count at all (no count() job needed to configure), only the
+    # recall target and assumed neighbor similarity
+    assert lsh_auto_config(target_recall=0.9) == (planes, bits)
 
 
 def test_textstats_sanity(docs):

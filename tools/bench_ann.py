@@ -139,7 +139,7 @@ def main() -> None:
         planes_for_corpus,
     )
 
-    auto_planes, auto_bits = lsh_auto_config(n_vecs)
+    auto_planes, auto_bits = lsh_auto_config()
     occ_planes = planes_for_corpus(n_vecs)  # the old (near-dup) default
     extra_meta = {}
     if n_vecs >= 100_000:

@@ -23,22 +23,21 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def main():
+    import argparse
+
     from hmm_crf_ner_fromscratch_spark.functions.crf import CRFModel
     from hmm_crf_ner_fromscratch_spark.operators.crf import decode_crf
     from hmm_crf_ner_fromscratch_spark.sources.conll import read_conll
     from hmm_crf_ner_fromscratch_spark.session import get_spark
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    corpus = "English"
-    out_path = None
-    argv = sys.argv[1:]
-    for i, a in enumerate(argv):
-        if a == "--corpus":
-            corpus = argv[i + 1]
-            args.remove(argv[i + 1])
-        if a == "--out":
-            out_path = argv[i + 1]
-            args.remove(argv[i + 1])
+    ap = argparse.ArgumentParser(
+        description="Score saved CRF checkpoint dirs on a validation file"
+    )
+    ap.add_argument("checkpoints", nargs="+", help="CRFModel.save dirs")
+    ap.add_argument("--corpus", default="English")
+    ap.add_argument("--out", default=None, help="append results JSONL here")
+    ns = ap.parse_args()
+    args, corpus, out_path = ns.checkpoints, ns.corpus, ns.out
 
     spark = get_spark(app_name="crf-eval", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
