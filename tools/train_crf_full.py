@@ -101,6 +101,12 @@ def main():
                 else full_gaz
             )
             tpls = gazetteer_u_templates(tpls)
+        # round-6 single lever: a word-shape TRIGRAM conjunction
+        # (-1,0,1) -- capitalization-pattern sequences ("Xx Xx Xx") fire
+        # on wholly unseen names, targeting the recall deficit (r 0.875
+        # vs p 0.896 on the round-5 record run)
+        if os.environ.get("SHAPE_TRIGRAM", "0") == "1":
+            tpls = tpls + [("UST", (-1, 0, 1), "shape")]
         register_cluster_maps(cmaps)
         print(
             f"clusters: V={len(bits)}, min_count={min_count}, depth={depth}, "
