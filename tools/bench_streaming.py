@@ -59,9 +59,16 @@ def main() -> None:
         stream_kg_ingest,
     )
 
-    turns_per_batch = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
-    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    # --constant-keys: every batch reuses the SAME conv_ids (content still
+    # varies per batch via the seed, so per-batch decode work is unchanged)
+    # -> state keys stay flat across the soak. The delta vs the default
+    # growing-keys soak isolates the state-size-dependent trigger cost
+    # from the fixed per-batch cost (round-5 verdict ask #6).
+    constant_keys = "--constant-keys" in sys.argv[1:]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    turns_per_batch = int(args[0]) if len(args) > 0 else 50_000
+    n_batches = int(args[1]) if len(args) > 1 else 10
+    cores = int(args[2]) if len(args) > 2 else 32
 
     shutil.rmtree(BASE, ignore_errors=True)
     in_dir = os.path.join(BASE, "in")
@@ -80,8 +87,9 @@ def main() -> None:
     # ingest timings); fresh conversations per batch
     staged = []
     for k in range(n_batches):
+        prefix = "c_" if constant_keys else f"b{k:03d}_"
         tx = synth_transcripts(spark, turns_per_batch, seed=1000 + k).withColumn(
-            "conv_id", F.concat(F.lit(f"b{k:03d}_"), F.col("conv_id"))
+            "conv_id", F.concat(F.lit(prefix), F.col("conv_id"))
         )
         stage_dir = os.path.join(BASE, f"stage_{k}")
         tx.coalesce(1).write.parquet(stage_dir)
@@ -137,6 +145,7 @@ def main() -> None:
                 "summary": True,
                 "turns_per_batch": turns_per_batch,
                 "n_batches": len(secs),
+                "constant_keys": constant_keys,
                 "first_half_mean_sec": round(sum(secs[:half]) / max(half, 1), 2),
                 "second_half_mean_sec": round(
                     sum(secs[half:]) / max(len(secs) - half, 1), 2
