@@ -455,6 +455,140 @@ def build_obs_lists(
     return out
 
 
+class BatchObs:
+    """Flattened observation codes for a batch of sentences: the shared
+    machinery behind the vectorized decode AND training kernels.
+
+    All sentences concatenate onto one position axis (t = 0..T per
+    sentence; t = T is the STOP slot). Words are factorized once
+    (``pd.factorize``); each transform runs over the UNIQUE words only;
+    per-(transform, offset) observation columns are integer code arrays
+    built by shifted gathers; multi-offset templates combine component
+    codes mixed-radix and materialize strings only for unique combos.
+    ``template_codes(offs, xf)`` -> (codes over P, unique obs strings
+    indexed by code), cached per template shape.
+    """
+
+    def __init__(self, sents: list, templates) -> None:
+        import pandas as pd
+
+        S = len(sents)
+        self.S = S
+        lengths = np.array([len(w) for w in sents], dtype=np.int64)
+        self.lengths = lengths
+        word_start = np.zeros(S, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=word_start[1:])
+        npos = lengths + 1
+        pos_start = np.zeros(S, dtype=np.int64)
+        np.cumsum(npos[:-1], out=pos_start[1:])
+        self.pos_start = pos_start
+        P = int(npos.sum())
+        self.P = P
+
+        flat_words = np.empty(int(lengths.sum()), dtype=object)
+        k = 0
+        for w in sents:
+            flat_words[k : k + len(w)] = w
+            k += len(w)
+
+        self.sent_of = np.repeat(np.arange(S), npos)
+        self.t_local = np.arange(P, dtype=np.int64) - pos_start[self.sent_of]
+        self.slen = lengths[self.sent_of]
+        self._wstart = word_start[self.sent_of]
+        self.is_word = self.t_local < self.slen
+        self.mid_idx = np.nonzero((self.t_local >= 1) & self.is_word)[0]
+        self.first_rows = pos_start
+        self.stop_rows = pos_start + lengths
+
+        wcodes, wuniq = pd.factorize(flat_words)
+        wuniq = np.asarray(wuniq, dtype=object)
+        self._xf_data: dict[str, tuple] = {}
+        for _, _, xf in templates:
+            if xf in self._xf_data:
+                continue
+            if xf == "w":
+                tvals = wuniq
+            else:
+                tvals = np.array(
+                    [apply_xform(w, xf) for w in wuniq], dtype=object
+                )
+            tail = np.array(
+                [apply_xform("BOS", xf), apply_xform("EOS", xf)], dtype=object
+            )
+            tcodes, tuniq = pd.factorize(np.concatenate([tvals, tail]))
+            self._xf_data[xf] = (
+                tcodes[:-2][wcodes] if len(wcodes) else np.empty(0, np.int64),
+                np.asarray(tuniq, dtype=object),
+                int(tcodes[-2]),
+                int(tcodes[-1]),
+            )
+        self._col_cache: dict[tuple, np.ndarray] = {}
+        self._tpl_cache: dict[tuple, tuple] = {}
+
+    def col(self, xf: str, o: int) -> np.ndarray:
+        key = (xf, o)
+        c = self._col_cache.get(key)
+        if c is None:
+            word_code, _, bos_c, eos_c = self._xf_data[xf]
+            idx = self.t_local + o
+            c = np.empty(self.P, dtype=np.int64)
+            lo = idx < 0
+            hi = idx >= self.slen
+            ok = ~(lo | hi)
+            c[lo] = bos_c
+            c[hi] = eos_c
+            c[ok] = word_code[self._wstart[ok] + idx[ok]]
+            self._col_cache[key] = c
+        return c
+
+    def template_codes(self, offs: tuple, xf: str) -> tuple:
+        key = (offs, xf)
+        got = self._tpl_cache.get(key)
+        if got is None:
+            tuniq = self._xf_data[xf][1]
+            if len(offs) == 1:
+                got = (self.col(xf, offs[0]), tuniq)
+            else:
+                cols = [self.col(xf, o) for o in offs]
+                n = len(tuniq)
+                if n ** len(offs) < (1 << 62):
+                    comb = cols[0].copy()
+                    for cc in cols[1:]:
+                        comb = comb * n + cc
+                    ucomb, inv = np.unique(comb, return_inverse=True)
+                    digits = []
+                    rem = ucomb.copy()
+                    for _ in range(len(offs) - 1):
+                        digits.append(rem % n)
+                        rem //= n
+                    digits.append(rem)
+                    digits.reverse()
+                    strs = np.array(
+                        [
+                            "/".join(tuniq[d[j]] for d in digits)
+                            for j in range(len(ucomb))
+                        ],
+                        dtype=object,
+                    )
+                else:  # pathological vocab size: stack-based unique
+                    stacked = np.stack(cols)
+                    ucomb, inv = np.unique(
+                        stacked, axis=1, return_inverse=True
+                    )
+                    strs = np.array(
+                        [
+                            "/".join(
+                                tuniq[ucomb[d, j]] for d in range(len(offs))
+                            )
+                            for j in range(ucomb.shape[1])
+                        ],
+                        dtype=object,
+                    )
+                got = (inv, strs)
+            self._tpl_cache[key] = got
+        return got
+
+
 def viterbi_decode_crf_batch(
     token_lists: list, tables: DecodeTables
 ) -> list[list[str]]:
@@ -487,8 +621,6 @@ def viterbi_decode_crf_batch(
     == x for every float except -0.0, and a sign-of-zero difference can
     never flip a comparison), so decoded paths are identical.
     """
-    import pandas as pd
-
     K = tables.K
     if K == 0:
         return [[] for _ in token_lists]
@@ -506,118 +638,12 @@ def viterbi_decode_crf_batch(
     if not sents:
         return out
 
-    S = len(sents)
-    lengths = np.array([len(w) for w in sents], dtype=np.int64)
-    word_start = np.zeros(S, dtype=np.int64)
-    np.cumsum(lengths[:-1], out=word_start[1:])
-    npos = lengths + 1  # positions 0..T inclusive (T = STOP slot)
-    pos_start = np.zeros(S, dtype=np.int64)
-    np.cumsum(npos[:-1], out=pos_start[1:])
-    P = int(npos.sum())
-
-    flat_words = np.empty(int(lengths.sum()), dtype=object)
-    k = 0
-    for w in sents:
-        flat_words[k : k + len(w)] = w
-        k += len(w)
-
-    sent_of = np.repeat(np.arange(S), npos)
-    t_local = np.arange(P, dtype=np.int64) - pos_start[sent_of]
-    slen = lengths[sent_of]
-    wstart = word_start[sent_of]
-    is_word = t_local < slen
-    mid_idx = np.nonzero((t_local >= 1) & is_word)[0]
-    first_rows = pos_start
-    stop_rows = pos_start + lengths
-
-    # --- factorize words once; apply transforms to unique words only ---
-    wcodes, wuniq = pd.factorize(flat_words)
-    wuniq = np.asarray(wuniq, dtype=object)
-    xf_data: dict[str, tuple] = {}
-    for _, _, xf in u_tpls + b_tpls:
-        if xf in xf_data:
-            continue
-        if xf == "w":
-            tvals = wuniq
-        else:
-            tvals = np.array([apply_xform(w, xf) for w in wuniq], dtype=object)
-        tail = np.array(
-            [apply_xform("BOS", xf), apply_xform("EOS", xf)], dtype=object
-        )
-        tcodes, tuniq = pd.factorize(np.concatenate([tvals, tail]))
-        xf_data[xf] = (
-            tcodes[:-2][wcodes] if len(wcodes) else np.empty(0, np.int64),
-            np.asarray(tuniq, dtype=object),
-            int(tcodes[-2]),
-            int(tcodes[-1]),
-        )
-
-    # per-(transform, offset) observation code columns over all P positions
-    col_cache: dict[tuple, np.ndarray] = {}
-
-    def col(xf: str, o: int) -> np.ndarray:
-        key = (xf, o)
-        c = col_cache.get(key)
-        if c is None:
-            word_code, _, bos_c, eos_c = xf_data[xf]
-            idx = t_local + o
-            c = np.empty(P, dtype=np.int64)
-            lo = idx < 0
-            hi = idx >= slen
-            ok = ~(lo | hi)
-            c[lo] = bos_c
-            c[hi] = eos_c
-            c[ok] = word_code[wstart[ok] + idx[ok]]
-            col_cache[key] = c
-        return c
-
-    # per-template: (codes over P, unique obs strings indexed by code)
-    tpl_cache: dict[tuple, tuple] = {}
-
-    def template_codes(offs: tuple, xf: str) -> tuple:
-        key = (offs, xf)
-        got = tpl_cache.get(key)
-        if got is None:
-            tuniq = xf_data[xf][1]
-            if len(offs) == 1:
-                got = (col(xf, offs[0]), tuniq)
-            else:
-                cols = [col(xf, o) for o in offs]
-                n = len(tuniq)
-                if n ** len(offs) < (1 << 62):
-                    comb = cols[0].copy()
-                    for cc in cols[1:]:
-                        comb = comb * n + cc
-                    ucomb, inv = np.unique(comb, return_inverse=True)
-                    digits = []
-                    rem = ucomb.copy()
-                    for _ in range(len(offs) - 1):
-                        digits.append(rem % n)
-                        rem //= n
-                    digits.append(rem)
-                    digits.reverse()
-                    strs = np.array(
-                        [
-                            "/".join(tuniq[d[j]] for d in digits)
-                            for j in range(len(ucomb))
-                        ],
-                        dtype=object,
-                    )
-                else:  # pathological vocab size: stack-based unique
-                    stacked = np.stack(cols)
-                    ucomb, inv = np.unique(
-                        stacked, axis=1, return_inverse=True
-                    )
-                    strs = np.array(
-                        [
-                            "/".join(tuniq[ucomb[d, j]] for d in range(len(offs)))
-                            for j in range(ucomb.shape[1])
-                        ],
-                        dtype=object,
-                    )
-                got = (inv, strs)
-            tpl_cache[key] = got
-        return got
+    obs = BatchObs(sents, u_tpls + b_tpls)
+    S, P = obs.S, obs.P
+    lengths, pos_start = obs.lengths, obs.pos_start
+    is_word, mid_idx = obs.is_word, obs.mid_idx
+    first_rows, stop_rows = obs.first_rows, obs.stop_rows
+    template_codes = obs.template_codes
 
     # --- unigram features: flat (P, K) matrix + STOP scalars, rule order ---
     U_flat = np.zeros((P, K), dtype=np.float32)

@@ -648,6 +648,360 @@ def _sentence_grad(words, gold_tags, tt: _TrainTables, w64, grad):
     return float(logZ - gold)
 
 
+def _batch_grad(tok_lists, tag_lists, tt: _TrainTables, w64, grad):
+    """Vectorized batch twin of :func:`_sentence_grad`: same exact
+    gradient (E_model[f] - f_gold summed over the batch, float64
+    forward-backward) accumulated into ``grad``, with the per-position
+    python/dict work replaced by the BatchObs code machinery --
+    feature ids resolve per UNIQUE obs code, potentials/marginals run
+    batched over length-sorted sentence chunks, and all scatter-adds go
+    through one ``np.bincount`` over expanded (fid, value) arrays.
+    Returns (loss_total, n_finite) like the per-sentence loop did
+    (non-finite sentences are excluded from the loss sum only; their
+    gradient contributions remain, matching the scalar path).
+
+    Float64 summation ORDER differs from the scalar kernel (vectorized
+    reductions), so gradients agree to ~1e-9 relative, not bitwise --
+    the training contract is exact-gradient math (finite-difference
+    tested), not weight-trajectory equality (module docstring)."""
+    from ..functions.crf import BatchObs
+
+    K = len(tt.tags)
+    pairs = [
+        (list(w), list(g)) for w, g in zip(tok_lists, tag_lists) if len(w) > 0
+    ]
+    if K == 0 or not pairs:
+        return 0.0, 0
+    sents = [p[0] for p in pairs]
+    golds = [p[1] for p in pairs]
+    tag_idx = tt.tag_idx
+
+    obs = BatchObs(sents, tt.u_templates + tt.b_templates)
+    S, P = obs.S, obs.P
+    lengths, pos_start = obs.lengths, obs.pos_start
+    is_word, mid_idx = obs.is_word, obs.mid_idx
+    first_rows, stop_rows = obs.first_rows, obs.stop_rows
+    sent_of = obs.sent_of
+
+    # gold tag ids per flat position (word rows; -1 on STOP slots)
+    flat_gold = np.empty(int(lengths.sum()), dtype=object)
+    k = 0
+    for g in golds:
+        flat_gold[k : k + len(g)] = g
+        k += len(g)
+    gcodes, guniq = pd.factorize(flat_gold)
+    glut = np.array([tag_idx[t] for t in guniq], dtype=np.int64)
+    gold_flat = np.full(P, -1, dtype=np.int64)
+    gold_flat[np.nonzero(is_word)[0]] = glut[gcodes]
+    gold_first = gold_flat[first_rows]
+    gold_last = gold_flat[stop_rows - 1]
+
+    # dense pure-B weight grid (missing fid -> 0, as in the scalar path)
+    bp_f = tt.bp_fid
+    bp_w = np.where(bp_f >= 0, w64[np.maximum(bp_f, 0)], 0.0)
+
+    def csr(uniq_strs, table, r, width):
+        """Per-unique-obs feature segments: (ids, fid_flat, cols_flat[,..],
+        seg_start, seg_len). ``width`` = tuple length in the fid lists."""
+        ids = np.full(len(uniq_strs), -1, dtype=np.int64)
+        chunks = []
+        n_seg = 0
+        for j in range(len(uniq_strs)):
+            lst = table.get((r, uniq_strs[j]))
+            if lst:
+                ids[j] = n_seg
+                chunks.append(lst)
+                n_seg += 1
+        if not chunks:
+            return None
+        seg_len = np.array([len(c) for c in chunks], dtype=np.int64)
+        seg_start = np.zeros(n_seg, dtype=np.int64)
+        np.cumsum(seg_len[:-1], out=seg_start[1:])
+        flat = np.array(
+            [x for c in chunks for x in c], dtype=np.int64
+        ).reshape(-1, width)
+        return ids, flat, seg_start, seg_len
+
+    def expand(pos_ids, seg_ids, seg_start, seg_len):
+        cnt = seg_len[seg_ids]
+        tot = int(cnt.sum())
+        pos_exp = np.repeat(pos_ids, cnt)
+        base = np.repeat(seg_start[seg_ids], cnt)
+        cum = np.cumsum(cnt)
+        within = np.arange(tot, dtype=np.int64) - np.repeat(cum - cnt, cnt)
+        return pos_exp, base + within
+
+    fid_acc: list[np.ndarray] = []
+    val_acc: list[np.ndarray] = []
+    gold_sum = np.zeros(S)  # per-sentence gold score (loss needs it)
+
+    # ---- unigram features: potentials now, expectations after marginals
+    U64 = np.zeros((P, K))
+    u_phase2 = []  # (pos_exp, fid_exp, ci_exp)
+    for r, (_, offs, xf) in enumerate(tt.u_templates):
+        codes, uniq_strs = obs.template_codes(offs, xf)
+        got = csr(uniq_strs, tt.u_fids, r, 2)
+        if got is not None:
+            ids, flat, seg_start, seg_len = got
+            pid = ids[codes]
+            pos_ids = np.nonzero((pid >= 0) & is_word)[0]
+            if len(pos_ids):
+                pos_exp, fi = expand(pos_ids, pid[pos_ids], seg_start, seg_len)
+                fid_exp, ci_exp = flat[fi, 0], flat[fi, 1]
+                U64[pos_exp, ci_exp] += w64[fid_exp]
+                u_phase2.append((pos_exp, fid_exp, ci_exp))
+    # STOP-tag unigrams: expectation (+1, fires with prob 1) and gold (-1)
+    # cancel exactly in the gradient; only the weight enters logZ and the
+    # gold score, as the per-sentence scalar ``stop_u``
+    stop_u_vec = np.zeros(S)
+    if tt.u_stop_fids:
+        for r, (_, offs, xf) in enumerate(tt.u_templates):
+            codes, uniq_strs = obs.template_codes(offs, xf)
+            sgot = csr(uniq_strs, tt.u_stop_fids, r, 1)
+            if sgot is not None:
+                ids, flat, seg_start, seg_len = sgot
+                pid = ids[codes[stop_rows]]
+                rows = np.nonzero(pid >= 0)[0]
+                if len(rows):
+                    s_exp, fi = expand(rows, pid[rows], seg_start, seg_len)
+                    stop_u_vec += np.bincount(
+                        s_exp, weights=w64[flat[fi, 0]], minlength=S
+                    )
+
+    # ---- observation-bigram features
+    start_v = U64[first_rows].copy()
+    start_phase2 = []  # (s_exp, fid_exp, ci_exp)
+    for r, (_, offs, xf) in enumerate(tt.b_templates):
+        codes, uniq_strs = obs.template_codes(offs, xf)
+        got = csr(uniq_strs, tt.bo_start_fids, r, 2)
+        if got is not None:
+            ids, flat, seg_start, seg_len = got
+            pid = ids[codes[first_rows]]
+            rows = np.nonzero(pid >= 0)[0]
+            if len(rows):
+                s_exp, fi = expand(rows, pid[rows], seg_start, seg_len)
+                fid_exp, ci_exp = flat[fi, 0], flat[fi, 1]
+                np.add.at(start_v, (s_exp, ci_exp), w64[fid_exp])
+                start_phase2.append((s_exp, fid_exp, ci_exp))
+    start_v += bp_w[K, :K][None, :]
+
+    stop_v = np.zeros((S, K))
+    stop_phase2 = []  # (s_exp, fid_exp, pi_exp)
+    for r, (_, offs, xf) in enumerate(tt.b_templates):
+        codes, uniq_strs = obs.template_codes(offs, xf)
+        got = csr(uniq_strs, tt.bo_stop_fids, r, 2)
+        if got is not None:
+            ids, flat, seg_start, seg_len = got
+            pid = ids[codes[stop_rows]]
+            rows = np.nonzero(pid >= 0)[0]
+            if len(rows):
+                s_exp, fi = expand(rows, pid[rows], seg_start, seg_len)
+                fid_exp, pi_exp = flat[fi, 0], flat[fi, 1]
+                np.add.at(stop_v, (s_exp, pi_exp), w64[fid_exp])
+                stop_phase2.append((s_exp, fid_exp, pi_exp))
+    stop_v += bp_w[:K, K][None, :]
+
+    # mid-position bigram entries (pos, fid, pi, ci), concatenated over
+    # rules then sorted by flat position for per-(chunk, step) slicing
+    e_pos, e_fid, e_pi, e_ci = [], [], [], []
+    for r, (_, offs, xf) in enumerate(tt.b_templates):
+        codes, uniq_strs = obs.template_codes(offs, xf)
+        got = csr(uniq_strs, tt.bo_fids, r, 3)
+        if got is not None:
+            ids, flat, seg_start, seg_len = got
+            pid = ids[codes[mid_idx]]
+            rows = np.nonzero(pid >= 0)[0]
+            if len(rows):
+                m_exp, fi = expand(rows, pid[rows], seg_start, seg_len)
+                e_pos.append(mid_idx[m_exp])
+                e_fid.append(flat[fi, 0])
+                e_pi.append(flat[fi, 1])
+                e_ci.append(flat[fi, 2])
+    if e_pos:
+        e_pos = np.concatenate(e_pos)
+        e_fid = np.concatenate(e_fid)
+        e_pi = np.concatenate(e_pi)
+        e_ci = np.concatenate(e_ci)
+        order_e = np.argsort(e_pos, kind="stable")
+        e_pos, e_fid, e_pi, e_ci = (
+            e_pos[order_e], e_fid[order_e], e_pi[order_e], e_ci[order_e],
+        )
+        e_w = w64[e_fid]
+        em_vals = np.empty(len(e_pos))
+    else:
+        e_pos = np.empty(0, dtype=np.int64)
+        em_vals = np.empty(0)
+
+    # ---- batched forward-backward over length-sorted chunks
+    order = np.argsort(-lengths, kind="stable")
+    node_m = np.zeros((P, K))  # word rows get filled; STOP rows unused
+    stop_m = np.zeros((S, K))
+    em_total = np.zeros((K, K))
+    logZ = np.zeros(S)
+    lse_scratch = None
+
+    def lse(a, axis):
+        m = np.max(a, axis=axis, keepdims=True)
+        return np.squeeze(
+            m + np.log(np.sum(np.exp(a - m), axis=axis, keepdims=True)),
+            axis=axis,
+        )
+
+    # adaptive chunk: bound the (nc, maxT, K) alpha tensor
+    max_cells = 8_000_000
+    c0 = 0
+    while c0 < S:
+        maxT0 = int(lengths[order[c0]])
+        cap = max(1, max_cells // max(maxT0 * K, 1))
+        chunk = order[c0 : c0 + min(1024, cap)]
+        c0 += len(chunk)
+        nc = len(chunk)
+        cl = lengths[chunk]  # descending
+        maxT = int(cl[0])
+        first = pos_start[chunk]
+        row_of_sent = np.full(S, -1, dtype=np.int64)
+        row_of_sent[chunk] = np.arange(nc)
+
+        # per-(step) entry slices for this chunk: entries at positions
+        # belonging to chunk sentences, keyed by local t
+        if len(e_pos):
+            in_chunk = row_of_sent[sent_of[e_pos]] >= 0
+            eidx = np.nonzero(in_chunk)[0]
+            et = obs.t_local[e_pos[eidx]]
+            erow = row_of_sent[sent_of[e_pos[eidx]]]
+            eord = np.argsort(et, kind="stable")
+            eidx, et, erow = eidx[eord], et[eord], erow[eord]
+            t_bounds = np.searchsorted(et, np.arange(maxT + 1))
+        else:
+            eidx = np.empty(0, dtype=np.int64)
+
+        def pots_at(t, na):
+            """(na, K, K) potentials for transition (t-1 -> t): obs at
+            position t; rows are the first ``na`` chunk sentences."""
+            pots = bp_w[None, :K, :K] + U64[first[:na] + t][:, None, :]
+            if len(eidx):
+                lo, hi = t_bounds[t], t_bounds[t + 1]
+                sl = slice(lo, hi)
+                rows_l = erow[sl]
+                keep = rows_l < na
+                if keep.any():
+                    np.add.at(
+                        pots,
+                        (rows_l[keep], e_pi[eidx[sl]][keep], e_ci[eidx[sl]][keep]),
+                        e_w[eidx[sl]][keep],
+                    )
+            return pots
+
+        alpha = np.zeros((nc, maxT, K))
+        alpha[:, 0] = start_v[chunk]
+        for t in range(1, maxT):
+            na = int(np.searchsorted(-cl, -(t + 1), side="right"))
+            pots = pots_at(t, na)
+            alpha[:na, t] = lse(
+                alpha[:na, t - 1][:, :, None] + pots, axis=1
+            )
+        sv = stop_v[chunk] + stop_u_vec[chunk][:, None]
+        fin = alpha[np.arange(nc), cl - 1] + sv
+        logZ[chunk] = lse(fin, axis=1)
+        stop_m[chunk] = np.exp(fin - logZ[chunk][:, None])
+
+        beta = np.empty((nc, K))
+        for t in range(maxT - 1, -1, -1):
+            n_t = int(np.searchsorted(-cl, -(t + 1), side="right"))
+            n_t1 = int(np.searchsorted(-cl, -(t + 2), side="right"))
+            if n_t1 < n_t:  # sentences whose last position is t
+                beta[n_t1:n_t] = sv[n_t1:n_t]
+            if n_t1 > 0:  # recurse over transition (t -> t+1)
+                pots = pots_at(t + 1, n_t1)
+                em = np.exp(
+                    alpha[:n_t1, t][:, :, None]
+                    + pots
+                    + beta[:n_t1, None, :]
+                    - logZ[chunk[:n_t1]][:, None, None]
+                )
+                em_total += em.sum(axis=0)
+                if len(eidx):
+                    lo, hi = t_bounds[t + 1], t_bounds[t + 2]
+                    sl = slice(lo, hi)
+                    rows_l = erow[sl]
+                    keep = rows_l < n_t1
+                    if keep.any():
+                        tgt = eidx[sl][keep]
+                        em_vals[tgt] = em[
+                            rows_l[keep], e_pi[tgt], e_ci[tgt]
+                        ]
+                beta[:n_t1] = lse(pots + beta[:n_t1, None, :], axis=2)
+            node_m[first[:n_t] + t] = np.exp(
+                alpha[:n_t, t] + beta[:n_t] - logZ[chunk[:n_t]][:, None]
+            )
+
+    # ---- phase 2: expectations minus gold counts -> grad, gold score
+    for pos_exp, fid_exp, ci_exp in u_phase2:
+        sel = ci_exp == gold_flat[pos_exp]
+        fid_acc.append(fid_exp)
+        val_acc.append(node_m[pos_exp, ci_exp] - sel)
+        gold_sum += np.bincount(
+            sent_of[pos_exp[sel]], weights=w64[fid_exp[sel]], minlength=S
+        )
+    for s_exp, fid_exp, ci_exp in start_phase2:
+        sel = ci_exp == gold_first[s_exp]
+        fid_acc.append(fid_exp)
+        val_acc.append(node_m[first_rows[s_exp], ci_exp] - sel)
+        gold_sum += np.bincount(
+            s_exp[sel], weights=w64[fid_exp[sel]], minlength=S
+        )
+    for s_exp, fid_exp, pi_exp in stop_phase2:
+        sel = pi_exp == gold_last[s_exp]
+        fid_acc.append(fid_exp)
+        val_acc.append(stop_m[s_exp, pi_exp] - sel)
+        gold_sum += np.bincount(
+            s_exp[sel], weights=w64[fid_exp[sel]], minlength=S
+        )
+    if len(e_pos):
+        sel = (e_pi == gold_flat[e_pos - 1]) & (e_ci == gold_flat[e_pos])
+        fid_acc.append(e_fid)
+        val_acc.append(em_vals - sel)
+        gold_sum += np.bincount(
+            sent_of[e_pos[sel]], weights=e_w[sel], minlength=S
+        )
+
+    # pure-B: START row / mid grid / STOP column
+    start_counts = np.bincount(gold_first, minlength=K).astype(float)
+    stop_counts = np.bincount(gold_last, minlength=K).astype(float)
+    gp = gold_flat[mid_idx - 1]
+    gc = gold_flat[mid_idx]
+    mid_counts = np.bincount(gp * K + gc, minlength=K * K).astype(float).reshape(
+        K, K
+    )
+    grid_vals = np.zeros((K + 1, K + 1))
+    grid_vals[:K, :K] = em_total - mid_counts
+    grid_vals[K, :K] = node_m[first_rows].sum(axis=0) - start_counts
+    grid_vals[:K, K] = stop_m.sum(axis=0) - stop_counts
+    mask = bp_f >= 0
+    if mask.any():
+        fid_acc.append(bp_f[mask])
+        val_acc.append(grid_vals[mask])
+    # gold pure-B score per sentence (missing fids contribute 0)
+    gold_sum += bp_w[K, :K][gold_first]
+    gold_sum += bp_w[:K, K][gold_last]
+    gold_sum += np.bincount(
+        sent_of[mid_idx], weights=bp_w[:K, :K][gp, gc], minlength=S
+    )
+    # STOP-tag unigram gold score (grad contributions cancelled above)
+    gold_sum += stop_u_vec
+
+    if fid_acc:
+        grad += np.bincount(
+            np.concatenate(fid_acc),
+            weights=np.concatenate(val_acc),
+            minlength=len(grad),
+        )
+
+    loss = logZ - gold_sum
+    finite = np.isfinite(loss)
+    return float(loss[finite].sum()), int(finite.sum())
+
+
 def train_crf(
     sentences: DataFrame,
     model: CRFModel | None = None,
@@ -692,11 +1046,13 @@ def train_crf(
             loss_total = 0.0
             n = 0
             for pdf in batches:
-                for words, tags in zip(pdf["tokens"], pdf["tags"]):
-                    loss = _sentence_grad(list(words), list(tags), tt, w64, grad)
-                    if np.isfinite(loss):
-                        loss_total += loss
-                        n += 1
+                if len(pdf) == 0:
+                    continue
+                loss, cnt = _batch_grad(
+                    list(pdf["tokens"]), list(pdf["tags"]), tt, w64, grad
+                )
+                loss_total += loss
+                n += cnt
             nz = np.nonzero(grad)[0]
             out = pd.DataFrame({"fid": nz.astype(np.int64), "g": grad[nz]})
             out = pd.concat(

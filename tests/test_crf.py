@@ -382,3 +382,52 @@ def test_committed_dict_artifact_integrity(spark):
     )
     tags = decode_crf(test_df, model).first().tags_pred
     assert set(tags) <= set(model.tags)
+
+
+def test_batch_grad_matches_sentence_grad():
+    """The vectorized batch gradient must equal the per-sentence scalar
+    kernel's accumulated gradient and loss on random models/batches
+    (float64 summation order differs -> allclose, not bitwise)."""
+    import numpy as np
+
+    from hmm_crf_ner_fromscratch_spark.operators.crf import (
+        _TrainTables,
+        _batch_grad,
+        _sentence_grad,
+    )
+
+    rng = random.Random(99)
+    for trial in range(8):
+        model, sents, vocab = _random_model(rng)
+        tt = _TrainTables(model)
+        w64 = model.weights.astype(np.float64)
+        batch = []
+        for _ in range(12):
+            L = rng.randint(1, 9)
+            words = [rng.choice(vocab + ["unkA", "unkB"]) for _ in range(L)]
+            tags = [rng.choice(model.tags) for _ in range(L)]
+            batch.append((words, tags))
+        batch.insert(2, ([], []))  # empty sentence inside the batch
+
+        g_ref = np.zeros(len(w64))
+        loss_ref, n_ref = 0.0, 0
+        for words, tags in batch:
+            if not words:
+                continue
+            loss = _sentence_grad(list(words), list(tags), tt, w64, g_ref)
+            if np.isfinite(loss):
+                loss_ref += loss
+                n_ref += 1
+
+        g_new = np.zeros(len(w64))
+        loss_new, n_new = _batch_grad(
+            [w for w, _ in batch], [t for _, t in batch], tt, w64, g_new
+        )
+        assert n_new == n_ref, f"trial {trial}"
+        assert np.isclose(loss_new, loss_ref, rtol=1e-9), (
+            f"trial {trial}: {loss_new} vs {loss_ref}"
+        )
+        assert np.allclose(g_new, g_ref, rtol=1e-9, atol=1e-12), (
+            f"trial {trial}: max diff "
+            f"{np.abs(g_new - g_ref).max()}"
+        )
