@@ -121,6 +121,11 @@ def main() -> None:
                     break
                 time.sleep(0.5)
             if progress is None:
+                exc = query.exception()
+                if exc is not None:
+                    raise RuntimeError(
+                        f"streaming query died on batch {k}: {exc}"
+                    )
                 raise RuntimeError(f"batch {k} never processed")
             trig_sec = progress["durationMs"]["triggerExecution"] / 1000
             rec = {
