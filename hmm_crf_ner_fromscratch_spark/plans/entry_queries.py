@@ -570,8 +570,8 @@ WHERE CAST(i.ni AS DOUBLE) / CAST(na.n + nb.n - i.ni AS DOUBLE) >= {JACCARD_THRE
 """
 
 
-SQL_DEDUP_MINHASH = f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+# minhash CTE chain shared by the pair query and the grouping query
+_SQL_MINHASH_CTES = f"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 pos AS (SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - {N_SHINGLE - 1}, 1))) AS i, toks FROM t),
 sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i + {N_SHINGLE - 1}], ' ') AS sh FROM pos),
 mh AS (
@@ -594,14 +594,71 @@ inter AS (
   FROM cands c
   JOIN sh x ON x.doc_id = c.doc_a
   JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
-  GROUP BY c.doc_a, c.doc_b)
-SELECT i.doc_a, i.doc_b,
+  GROUP BY c.doc_a, c.doc_b)"""
+
+_SQL_MINHASH_PAIRS_SELECT = f"""SELECT i.doc_a, i.doc_b,
        CAST(i.ni AS DOUBLE) / CAST(na.n + nb.n - i.ni AS DOUBLE) AS jaccard
 FROM inter i
 JOIN ssize na ON na.doc_id = i.doc_a
 JOIN ssize nb ON nb.doc_id = i.doc_b
-WHERE CAST(i.ni AS DOUBLE) / CAST(na.n + nb.n - i.ni AS DOUBLE) >= {JACCARD_THRESHOLD}
+WHERE CAST(i.ni AS DOUBLE) / CAST(na.n + nb.n - i.ni AS DOUBLE) >= {JACCARD_THRESHOLD}"""
+
+SQL_DEDUP_MINHASH = f"""
+WITH {_SQL_MINHASH_CTES}
+{_SQL_MINHASH_PAIRS_SELECT}
 """
+
+# near-dup GROUPS: the confirmed pair graph closed transitively (min-label
+# propagation as a recursive CTE -- the SQL mirror of
+# operators/components.py) plus singleton groups for unpaired docs
+SQL_DEDUP_GROUPS = f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES},
+pairs AS ({_SQL_MINHASH_PAIRS_SELECT}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs),
+reach(doc, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, r.lbl FROM reach r JOIN edges e ON e.v = r.doc),
+grp AS (SELECT doc, MIN(lbl) AS group_id FROM reach GROUP BY doc),
+sizes AS (SELECT group_id, COUNT(*) AS group_size FROM grp GROUP BY group_id)
+SELECT g.doc AS doc_id, g.group_id,
+       g.doc = g.group_id AS is_canonical,
+       s.group_size
+FROM grp g JOIN sizes s ON s.group_id = g.group_id
+"""
+
+
+def q_dedup_groups(spark, sf_dir):
+    """Near-duplicate CLUSTERS: the 'keep one per cluster' stage of a
+    training-data dedup pipeline. Confirmed minhash pairs (same plan as
+    dedup_minhash) close transitively via connected components; every doc
+    gets a group_id (= min doc_id of its cluster; singletons group with
+    themselves), an is_canonical flag, and the cluster size. Downstream
+    dedup is `WHERE is_canonical`."""
+    from ..operators.components import connected_components
+
+    pairs = q_dedup_minhash(spark, sf_dir).localCheckpoint()
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    docs = _docs(spark, sf_dir).select("doc_id")
+    grp = docs.join(
+        comp.select(F.col("key").alias("doc_id"), "component"),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("group_id")
+    )
+    sizes = grp.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return grp.join(sizes, "group_id").select(
+        "doc_id",
+        "group_id",
+        (F.col("doc_id") == F.col("group_id")).alias("is_canonical"),
+        "group_size",
+    )
 
 
 # =====================================================================
@@ -2368,6 +2425,7 @@ QUERIES = {
     "eval_report": q_eval_report,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_groups": q_dedup_groups,
     "jaccard_ngram": q_jaccard_ngram,
     "sim_topk": q_sim_topk,
     "textstats": q_textstats,
@@ -2408,6 +2466,7 @@ ORACLES = {
     "eval_report": _eval_report_sql(),
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_groups": SQL_DEDUP_GROUPS,
     "jaccard_ngram": SQL_JACCARD_NGRAM,
     "sim_topk": SQL_SIM_TOPK,
     "textstats": SQL_TEXTSTATS,
