@@ -751,6 +751,58 @@ def q_textstats(spark, sf_dir):
     )
 
 
+PACK_CAPACITY = 512
+PACK_SHARDS = 4
+SAMPLE_QUOTA = 20
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing over sharded token streams (the
+    LLM pretraining layout); see operators/curation.py for the scale
+    rationale (per-shard windows, no global sort)."""
+    from ..operators.curation import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), capacity=PACK_CAPACITY, n_shards=PACK_SHARDS
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (SELECT doc_id, CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM t)
+SELECT doc_id, shard, n_tokens,
+       CAST(FLOOR(cum_prev / {PACK_CAPACITY}.0) AS BIGINT) AS start_bin,
+       CAST(cum_prev % {PACK_CAPACITY} AS BIGINT) AS start_offset,
+       CAST(FLOOR((cum_prev + n_tokens - 1) / {PACK_CAPACITY}.0) AS BIGINT) AS end_bin
+FROM c
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language quota sample (data-mixing stage):
+    md5(doc_id) is the stable engine-portable shuffle."""
+    from ..operators.curation import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), strata_col="lang", quota=SAMPLE_QUOTA
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, CAST(rn AS INT) AS sample_rank FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+WHERE rn <= {SAMPLE_QUOTA}
+"""
+
+
 SQL_TEXTSTATS = f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 x AS (
@@ -2426,6 +2478,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_groups": q_dedup_groups,
+    "pack_sequences": q_pack_sequences,
+    "stratified_sample": q_stratified_sample,
     "jaccard_ngram": q_jaccard_ngram,
     "sim_topk": q_sim_topk,
     "textstats": q_textstats,
@@ -2467,6 +2521,8 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_groups": SQL_DEDUP_GROUPS,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "jaccard_ngram": SQL_JACCARD_NGRAM,
     "sim_topk": SQL_SIM_TOPK,
     "textstats": SQL_TEXTSTATS,
