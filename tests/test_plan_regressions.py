@@ -152,3 +152,28 @@ def test_sim_topk_no_python_stage(spark):
 
     scans = len(re.findall(r"(?:FileScan|BatchScan|Scan) parquet", plan))
     assert 1 <= scans <= 2, f"sim_topk scan count regressed: {scans}"
+
+
+def test_pack_sequences_no_global_sort(spark):
+    """Packing must window per SHARD: a single-partition (global) window
+    would serialize the whole corpus through one task at scale."""
+    from hmm_crf_ner_fromscratch_spark.plans.entry_queries import QUERIES
+
+    plan = _tree(QUERIES["pack_sequences"](spark, SF))
+    assert "Exchange hashpartitioning(shard" in plan, "shard window lost"
+    assert "SinglePartition" not in plan, "packing degenerated to a global sort"
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_stratified_sample_group_limit_pushdown(spark):
+    """The quota must prune BEFORE the stratum shuffle (WindowGroupLimit
+    partial pass), so only <= quota rows per stratum per input partition
+    ever shuffle."""
+    from hmm_crf_ner_fromscratch_spark.plans.entry_queries import QUERIES
+
+    plan = _tree(QUERIES["stratified_sample"](spark, SF))
+    assert plan.count("WindowGroupLimit") >= 2, (
+        "partial top-k pushdown lost: the full corpus would shuffle"
+    )
+    assert "Exchange hashpartitioning(lang" in plan
+    assert "SinglePartition" not in plan
