@@ -472,9 +472,24 @@ def q_dedup_minhash(spark, sf_dir):
     exact shingle-set Jaccard (>= 0.7) for confirmation."""
     sh = _shingles(spark, sf_dir).persist()
     ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    # numeric (60-bit) minhash values: min over BIGINT keeps the signature
+    # aggregate a HashAggregate with a map-side partial -- min over the
+    # 32-char md5 hex STRING planned as a SortAggregate, i.e. a sort of
+    # every exploded shingle row (measured 1.28 vs 0.74 s at sf0.1). The
+    # DuckDB oracle mirrors the exact conversion (hex prefix -> BIGINT).
     minhashes = ex.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")).cast("binary"))).alias(f"h{j}")
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")).cast("binary")),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"h{j}")
             for j in range(N_MINHASH)
         ]
     )
@@ -487,7 +502,10 @@ def q_dedup_minhash(spark, sf_dir):
                         F.lit(b).alias("band"),
                         F.md5(
                             F.concat(
-                                *[F.col(f"h{b * BAND_SIZE + k}") for k in range(BAND_SIZE)]
+                                *[
+                                    F.col(f"h{b * BAND_SIZE + k}").cast("string")
+                                    for k in range(BAND_SIZE)
+                                ]
                             ).cast("binary")
                         ).alias("bh"),
                     )
@@ -576,11 +594,15 @@ pos AS (SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - {N_SHINGLE
 sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i + {N_SHINGLE - 1}], ' ') AS sh FROM pos),
 mh AS (
   SELECT doc_id,
-         {', '.join(f"min(md5('{j}:' || sh)) AS h{j}" for j in range(N_MINHASH))}
+         {', '.join(
+             f"min(CAST(('0x' || substr(md5('{j}:' || sh), 1, 15)) AS BIGINT)) AS h{j}"
+             for j in range(N_MINHASH)
+         )}
   FROM sh GROUP BY doc_id),
 bands AS (
   {' UNION ALL '.join(
-      "SELECT doc_id, %d AS band, md5(h%d || h%d || h%d) AS bh FROM mh"
+      "SELECT doc_id, %d AS band, "
+      "md5(CAST(h%d AS VARCHAR) || CAST(h%d AS VARCHAR) || CAST(h%d AS VARCHAR)) AS bh FROM mh"
       % (b, b * BAND_SIZE, b * BAND_SIZE + 1, b * BAND_SIZE + 2)
       for b in range(N_MINHASH // BAND_SIZE)
   )}),
