@@ -31,6 +31,9 @@ BENCH_QUERIES = [
     "crf_decode_fixed",
     "transformer_decode",
     "dedup_minhash",
+    "dedup_groups",
+    "pack_sequences",
+    "stratified_sample",
     "sim_topk",
     "dict_mentions",
     "dict_triples",
