@@ -776,6 +776,97 @@ def q_textstats(spark, sf_dir):
 PACK_CAPACITY = 512
 PACK_SHARDS = 4
 SAMPLE_QUOTA = 20
+CONTAM_NGRAM = 5
+CONTAM_BENCH_MOD = 97  # doc_id % 97 == 0 -> the held-out "benchmark" slice
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any
+    ``CONTAM_NGRAM``-gram with the held-out benchmark slice (the
+    standard pre-training hygiene pass). Benchmark n-grams broadcast
+    (they are small by construction); candidates semi-join on exact
+    n-gram equality; output one row per contaminated doc with its hit
+    count and worst (lexicographically first) matching n-gram as
+    evidence."""
+    t = _toks(spark, sf_dir)
+    n = F.size("toks")
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(n - (CONTAM_NGRAM - 1), F.lit(1))
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(F.col("toks"), i, F.lit(CONTAM_NGRAM)), " "
+                    ),
+                )
+            )
+        ).alias("g"),
+    )
+    is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
+    bench = grams.where(is_bench).select("g").distinct()
+    return (
+        grams.where(~is_bench)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("g").alias("first_hit"),
+        )
+    )
+
+
+SQL_CONTAMINATION = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - {CONTAM_NGRAM - 1}, 1))) AS i, toks FROM t),
+g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i + {CONTAM_NGRAM - 1}], ' ') AS g FROM pos),
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id % {CONTAM_BENCH_MOD} = 0)
+SELECT x.doc_id, COUNT(*) AS n_hits, MIN(x.g) AS first_hit
+FROM g x JOIN bench b ON x.g = b.g
+WHERE x.doc_id % {CONTAM_BENCH_MOD} <> 0
+GROUP BY x.doc_id
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style intra-document repetition: the fraction of duplicate
+    {N_SHINGLE}-grams per document (a high ratio marks boilerplate /
+    degenerate text). Exact integers + one division, so the oracle
+    hash-matches bit-for-bit."""
+    t = _toks(spark, sf_dir)
+    n = F.size("toks")
+    all_grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (N_SHINGLE - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(F.col("toks"), i, F.lit(N_SHINGLE)), " "),
+    )
+    return t.select(
+        "doc_id",
+        F.size(all_grams).cast("long").alias("n_ngrams"),
+        F.size(F.array_distinct(all_grams)).cast("long").alias("n_distinct"),
+    ).select(
+        "doc_id",
+        "n_ngrams",
+        "n_distinct",
+        (
+            F.lit(1.0)
+            - F.col("n_distinct").cast("double") / F.col("n_ngrams").cast("double")
+        ).alias("dup_ratio"),
+    )
+
+
+SQL_REPETITION_STATS = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - {N_SHINGLE - 1}, 1))) AS i, toks FROM t),
+g AS (SELECT doc_id, array_to_string(toks[i:i + {N_SHINGLE - 1}], ' ') AS g FROM pos),
+c AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+             CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct
+      FROM g GROUP BY doc_id)
+SELECT doc_id, n_ngrams, n_distinct,
+       1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE) AS dup_ratio
+FROM c
+"""
 
 
 def q_pack_sequences(spark, sf_dir):
@@ -2501,6 +2592,8 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_groups": q_dedup_groups,
     "pack_sequences": q_pack_sequences,
+    "contamination": q_contamination,
+    "repetition_stats": q_repetition_stats,
     "stratified_sample": q_stratified_sample,
     "jaccard_ngram": q_jaccard_ngram,
     "sim_topk": q_sim_topk,
@@ -2544,6 +2637,8 @@ ORACLES = {
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_groups": SQL_DEDUP_GROUPS,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "contamination": SQL_CONTAMINATION,
+    "repetition_stats": SQL_REPETITION_STATS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "jaccard_ngram": SQL_JACCARD_NGRAM,
     "sim_topk": SQL_SIM_TOPK,
