@@ -485,3 +485,34 @@ def test_train_hmm_model_row_cap(spark):
     # and an adequate cap still trains fine
     model = train_hmm(sents, max_model_rows=1_000_000)
     assert model.B.shape[0] == 2  # two tags
+
+
+def test_local_df_arrow_paths(spark):
+    """session.local_df is load-bearing for every driver-built table
+    (lineage, components, relation rules, eval labels, ANN probes): it
+    must plan as a LocalTableScan (no python RDD), and round-trip arrays,
+    NULLs, and empty inputs faithfully."""
+    from pyspark.sql.types import StructType
+
+    from hmm_crf_ner_fromscratch_spark.session import local_df
+
+    df = local_df(
+        spark,
+        [(1, [1, 2, 3], "a"), (2, [], None)],
+        "id long, xs array<long>, s string",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan and "ExistingRDD" not in plan
+    rows = {r.id: r for r in df.collect()}
+    assert list(rows[1].xs) == [1, 2, 3] and rows[1].s == "a"
+    assert list(rows[2].xs) == [] and rows[2].s is None
+
+    # empty input keeps the declared schema
+    empty = local_df(spark, [], "id long, s string")
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id", "s"]
+
+    # StructType schema accepted too
+    st = StructType.fromDDL("k string, v int")
+    df2 = local_df(spark, [("x", 1)], st)
+    assert df2.schema == st and df2.first().v == 1
