@@ -177,3 +177,24 @@ def test_stratified_sample_group_limit_pushdown(spark):
     )
     assert "Exchange hashpartitioning(lang" in plan
     assert "SinglePartition" not in plan
+
+
+def test_contamination_broadcast_semi_join(spark):
+    """The benchmark n-gram side must broadcast (it is small by
+    construction); a shuffled join here would reshuffle every training
+    n-gram at corpus scale."""
+    from hmm_crf_ner_fromscratch_spark.plans.entry_queries import QUERIES
+
+    plan = _tree(QUERIES["contamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan, "benchmark side lost its broadcast"
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_repetition_stats_no_shuffle(spark):
+    """Per-doc repetition is pure projection work: zero shuffles."""
+    from hmm_crf_ner_fromscratch_spark.plans.entry_queries import QUERIES
+
+    plan = _tree(QUERIES["repetition_stats"](spark, SF))
+    assert _shuffles(plan) == 0, "repetition_stats grew a shuffle"
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan

@@ -103,6 +103,35 @@ EXPECTATIONS = {
         "only entity tokens shuffle; one combiner-reduced hash aggregate "
         "(partial collect_set/count map-side)."
     ),
+    "dedup_groups": (
+        "Minhash pair plan reused unchanged (hash-based numeric signature "
+        "aggregate, band-equality join); component closure on the tiny "
+        "confirmed-pair graph; group sizes from one aggregate over the "
+        "doc->group assignment; singleton docs coalesce to themselves "
+        "(left join, no second scan of the corpus)."
+    ),
+    "pack_sequences": (
+        "ONE window partitioned by shard (hashpartitioning, never "
+        "SinglePartition -- a global sort would serialize the corpus); "
+        "token counts from the scan projection; all expression work, no "
+        "python stage."
+    ),
+    "stratified_sample": (
+        "WindowGroupLimit partial pass BEFORE the stratum exchange: only "
+        "<= quota rows per stratum per input partition shuffle; "
+        "deterministic md5 order; one shuffle total."
+    ),
+    "contamination": (
+        "Benchmark n-gram side is tiny by construction and BROADCASTS; "
+        "training side streams through the semi-join equality on the "
+        "n-gram string; one aggregate for per-doc hit counts; no "
+        "cartesian anywhere."
+    ),
+    "repetition_stats": (
+        "Pure per-row expression work over one scan (n-gram transform + "
+        "array_distinct inside the projection); ZERO shuffles, zero "
+        "python stages."
+    ),
     "kg_incremental": (
         "Final-edges plan over the MERGED bucketed stage table: the scan "
         "shows the bucket partition column (Hive layout) and the upstream "
