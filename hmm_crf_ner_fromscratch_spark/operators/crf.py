@@ -838,7 +838,6 @@ def _batch_grad(tok_lists, tag_lists, tt: _TrainTables, w64, grad):
     stop_m = np.zeros((S, K))
     em_total = np.zeros((K, K))
     logZ = np.zeros(S)
-    lse_scratch = None
 
     def lse(a, axis):
         m = np.max(a, axis=axis, keepdims=True)
