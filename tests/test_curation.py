@@ -68,3 +68,44 @@ def test_stratified_sample_quota_and_determinism(spark):
     assert set(per) == {"en", "zh", "fr"}
     for ranks in per.values():
         assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+def test_dedup_groups_all_singletons(spark, tmp_path):
+    """A corpus with no near-dups: every doc is its own canonical group
+    of size 1 (the left join coalesces unpaired docs to themselves)."""
+    import os
+
+    from hmm_crf_ner_fromscratch_spark.plans.entry_queries import (
+        q_dedup_groups,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"totally unique{i} words{i} here{i} now{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+    rows = q_dedup_groups(spark, sf).collect()
+    assert len(rows) == 12
+    assert all(r.group_id == r.doc_id and r.is_canonical for r in rows)
+    assert all(r.group_size == 1 for r in rows)
+
+
+def test_contamination_empty_benchmark(spark, tmp_path):
+    """No doc_id hits the benchmark modulus -> empty benchmark slice ->
+    zero contaminated docs (and no error from the empty broadcast)."""
+    import os
+
+    from hmm_crf_ner_fromscratch_spark.plans.entry_queries import (
+        CONTAM_BENCH_MOD,
+        q_contamination,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(1, 8)],  # no multiples of MOD
+        "doc_id long, text string",
+    )
+    assert all(i % CONTAM_BENCH_MOD != 0 for i in range(1, 8))
+    sf = str(tmp_path)
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+    assert q_contamination(spark, sf).count() == 0
