@@ -211,6 +211,25 @@ def main() -> None:
     )
     decode_and_extract(warm, warm_model, key_cols=("conv_id", "turn_idx")).count()
 
+    # JVM warm-up: one tiny join+window+aggregate so whole-stage codegen /
+    # JIT compilation is paid here, not inside the FIRST timed query
+    # (kg_pipeline ran ~10.3 s cold vs 5.4 s on an identical warm rerun --
+    # the delta is session warmup, not the query; same rationale as the
+    # python-worker warm-up above). Round-over-round note: artifacts
+    # before round 6 charged this cost to kg_pipeline.
+    from pyspark.sql import Window as _W
+
+    tiny = docs.limit(256).select("doc_id", "lang", F.length("text").alias("n"))
+    (
+        tiny.join(tiny.groupBy("lang").agg(F.sum("n").alias("s")), "lang")
+        .withColumn(
+            "r", F.row_number().over(_W.partitionBy("lang").orderBy("doc_id"))
+        )
+        .groupBy("lang")
+        .agg(F.max("r"), F.sum("s"))
+        .count()
+    )
+
     timings: dict[str, float] = {}
     query_load: dict[str, float] = {}
     for name in BENCH_QUERIES:
