@@ -60,7 +60,31 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Unsplittable-input guard (optimization guide SS2.5): the testdata
+    parquet files are single-row-group, so the scan is ONE task and every
+    map-side operator downstream (tokenize, shingle hashing, python
+    decode kernels, partial aggregation) runs on one core of 32 --
+    measured: the whole train_hmm unified agg and every mapInPandas
+    decode stage ran with <= 2 python workers. A round-robin repartition
+    to the session's default parallelism immediately after the read
+    restores map-side parallelism. Scale-adaptive, not a local[32]
+    constant: the target comes from sparkContext.defaultParallelism and
+    the repartition is SKIPPED whenever the scan already has that many
+    splits (any real multi-file/multi-row-group corpus at scale)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT fanned out here: a blanket repartition is re-executed once per
+    # consumer of the subtree (train_hmm alone has 5 union branches) and
+    # re-ran 2-4x slower on the multi-consumer kg plans; _fan_out is
+    # applied per-pipeline where the map-side work dominates (dedup
+    # shingle hashing, sim_topk dot products, fused decode inputs).
     return _docs(spark, sf_dir).withColumn("toks", F.split("text", " "))
 
 
@@ -696,18 +720,25 @@ def q_sim_topk(spark, sf_dir):
     qvec = F.transform(
         "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
     )
-    base = emb.select("vec_id", qvec.alias("q"))
     dot_self = F.aggregate(
         F.zip_with("q", "q", lambda u, v: u * v), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
-    base = base.withColumn("nrm", dot_self)
+    base = emb.select("vec_id", qvec.alias("q")).withColumn("nrm", dot_self)
     queries = base.where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qq"),
         F.col("nrm").alias("qn"),
     )
+    # fan out ONLY the corpus side, directly on the scan, so the
+    # quantization + self-norm projections and the per-pair dot products
+    # all run above the exchange (32-way) instead of inside the 1-task
+    # single-row-group scan; the tiny broadcast query side keeps reading
+    # the scan directly (no exchange in the broadcast build)
+    corpus = _fan_out(emb).select("vec_id", qvec.alias("q")).withColumn(
+        "nrm", dot_self
+    )
     pairs = F.broadcast(queries).crossJoin(
-        base.select(F.col("vec_id").alias("neighbor_id"), "q", "nrm")
+        corpus.select(F.col("vec_id").alias("neighbor_id"), "q", "nrm")
     ).where(F.col("query_id") != F.col("neighbor_id"))
     dot = F.aggregate(
         F.zip_with("qq", "q", lambda u, v: u * v), F.lit(0).cast("long"), lambda acc, x: acc + x
@@ -2241,7 +2272,14 @@ def _kg_edges_from_mentions(mentions):
         "conv_id",
         "turn_idx",
     )
-    _, edges = build_graph(mentions, triples)
+    # check_id_collisions=False: the flagship consumes ONLY the edges
+    # frame, and the collision assertion is an extra eager action that
+    # materializes the nodes aggregate this query then discards (guide
+    # SS1.2: don't compute what you throw away). Node-id integrity stays
+    # covered by the library default (True), the test suite, and the
+    # DuckDB oracle, which recomputes every edge id independently and
+    # would hash-mismatch on any collision-induced merge.
+    _, edges = build_graph(mentions, triples, check_id_collisions=False)
     return edges.select("src", "pred", "dst", "weight")
 
 

@@ -56,6 +56,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", DEFAULT_ARROW_BATCH)
+        # fork-warm python workers: the daemon preloads pandas/pyarrow/
+        # numpy + this package's kernels, so a burst of fresh workers
+        # (first wide mapInPandas stage) inherits them via fork COW
+        # instead of importing per worker (~1.5 s CPU each, measured)
+        .config(
+            "spark.python.daemon.module",
+            "hmm_crf_ner_fromscratch_spark.pydaemon",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
