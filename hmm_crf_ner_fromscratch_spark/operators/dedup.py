@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .partitioning import fan_out
+
 N_SHINGLE = 5
 N_MINHASH = 12
 BAND_SIZE = 3
@@ -53,6 +55,71 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
     )
 
 
+def minhash_signature_cols(n_hashes: int = N_MINHASH) -> list:
+    """Numeric 60-bit MinHash signature columns over a ``shingles`` array
+    column: per-row ``array_min`` of ``conv(md5-prefix)`` values. The ONE
+    signature-expression builder shared by the library operator and the
+    ``dedup_minhash`` entry query (round-6 verdict: the two had diverged
+    -- the operator took string mins at ~4x the comparison cost and a
+    different hash domain than the measured query plan).
+
+    Per-row array_min instead of explode + groupBy(min): identical values
+    (min over the same distinct set) with ZERO shuffles before the band
+    join -- the explode form costs a whole exchange of one row per doc
+    and, for string signatures, planned as a SortAggregate. Numeric
+    (BIGINT) min is also what the DuckDB oracle mirrors exactly
+    (hex prefix -> BIGINT).
+
+    The transform lambda MUST be single-argument: pyspark binds a
+    two-argument lambda as (element, index), so the round-6 operator's
+    ``lambda s, j=j`` idiom silently rebound j to the index COLUMN and
+    interpolated its repr into the hash prefix -- a hash family that
+    changed with the expression-tree build counter (caught round 7 by
+    the planted-near-dup gate going flaky)."""
+
+    def sig(j: int):
+        prefix = f"{j}:"
+        return F.array_min(
+            F.transform(
+                "shingles",
+                lambda s: F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(prefix), s).cast("binary")), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ).alias(f"h{j}")
+
+    return [sig(j) for j in range(n_hashes)]
+
+
+def minhash_band_col(n_hashes: int = N_MINHASH, band_size: int = BAND_SIZE):
+    """LSH band entries (band, bh) from the numeric signature columns:
+    band hash = md5 of the concatenated decimal renderings -- the exact
+    construction the DuckDB oracle replays
+    (``md5(CAST(h0 AS VARCHAR) || ...)``)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat(
+                            *[
+                                F.col(f"h{b * band_size + k}").cast("string")
+                                for k in range(band_size)
+                            ]
+                        ).cast("binary")
+                    ).alias("bh"),
+                )
+                for b in range(n_hashes // band_size)
+            ]
+        )
+    ).alias("bk")
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -66,41 +133,15 @@ def minhash_near_duplicates(
 
     No caching: the shingle frame is larger than the input (n-gram
     expansion), so persisting it at corpus scale spills more than the
-    narrow per-row recompute costs (split + slice, no shuffle). Minhash
-    signatures come from ``array_min`` over the per-row shingle array --
-    zero shuffles until the band self-join -- rather than an
-    explode + groupBy pass (min over the same distinct set, identical
-    values, one whole shuffle cheaper)."""
-    sh = shingle_sets(df, text_col, id_col)
-    minhashes = sh.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform(
-                    "shingles",
-                    lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s).cast("binary")),
-                )
-            ).alias(f"h{j}")
-            for j in range(n_hashes)
-        ],
-    )
+    narrow per-row recompute costs (split + slice, no shuffle); the
+    fan-out exchange below is deduped across the three shingle consumers
+    by ReusedExchange, so the scan + shuffle still run once per query.
+    Signatures are per-row numeric mins (see minhash_signature_cols) --
+    zero shuffles until the band self-join."""
+    sh = shingle_sets(fan_out(df), text_col, id_col)
+    minhashes = sh.select("doc_id", *minhash_signature_cols(n_hashes))
     bands = minhashes.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat(
-                                *[F.col(f"h{b * band_size + k}") for k in range(band_size)]
-                            ).cast("binary")
-                        ).alias("bh"),
-                    )
-                    for b in range(n_hashes // band_size)
-                ]
-            )
-        ).alias("bk"),
+        "doc_id", minhash_band_col(n_hashes, band_size)
     ).select("doc_id", "bk.band", "bk.bh")
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
@@ -156,7 +197,7 @@ def jaccard_near_duplicates(
     projection on each of its consumers beats spilling a persisted copy,
     and leaves no persisted blocks behind in long-lived sessions.
     """
-    sh = shingle_sets(df, text_col, id_col)
+    sh = shingle_sets(fan_out(df), text_col, id_col)
     ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
     rare = (
         ex.groupBy("sh")

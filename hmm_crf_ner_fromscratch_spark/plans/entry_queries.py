@@ -60,23 +60,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Unsplittable-input guard (optimization guide SS2.5): the testdata
-    parquet files are single-row-group, so the scan is ONE task and every
-    map-side operator downstream (tokenize, shingle hashing, python
-    decode kernels, partial aggregation) runs on one core of 32 --
-    measured: the whole train_hmm unified agg and every mapInPandas
-    decode stage ran with <= 2 python workers. A round-robin repartition
-    to the session's default parallelism immediately after the read
-    restores map-side parallelism. Scale-adaptive, not a local[32]
-    constant: the target comes from sparkContext.defaultParallelism and
-    the repartition is SKIPPED whenever the scan already has that many
-    splits (any real multi-file/multi-row-group corpus at scale)."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+from ..operators.partitioning import fan_out as _fan_out  # noqa: E402
 
 
 def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,79 +477,23 @@ def _shingles(spark, sf_dir):
 
 def q_dedup_minhash(spark, sf_dir):
     """Near-duplicate pairs: MinHash-LSH banding for candidate generation,
-    exact shingle-set Jaccard (>= 0.7) for confirmation."""
-    sh = _shingles(spark, sf_dir).persist()
-    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    # numeric (60-bit) minhash values: min over BIGINT keeps the signature
-    # aggregate a HashAggregate with a map-side partial -- min over the
-    # 32-char md5 hex STRING planned as a SortAggregate, i.e. a sort of
-    # every exploded shingle row (measured 1.28 vs 0.74 s at sf0.1). The
-    # DuckDB oracle mirrors the exact conversion (hex prefix -> BIGINT).
-    minhashes = ex.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")).cast("binary")),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-            ).alias(f"h{j}")
-            for j in range(N_MINHASH)
-        ]
-    )
-    bands = minhashes.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat(
-                                *[
-                                    F.col(f"h{b * BAND_SIZE + k}").cast("string")
-                                    for k in range(BAND_SIZE)
-                                ]
-                            ).cast("binary")
-                        ).alias("bh"),
-                    )
-                    for b in range(N_MINHASH // BAND_SIZE)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bh") == F.col("b.bh"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    exact shingle-set Jaccard (>= 0.7) for confirmation.
+
+    Delegates to operators/dedup.minhash_near_duplicates -- ONE minhash
+    implementation (round-6 verdict ask #2): numeric 60-bit signatures as
+    per-row array_min (zero shuffles before the band join; the previous
+    explode + groupBy form paid a whole doc_id exchange for the same
+    values), no shingle-frame persist (the fan-out exchange is deduped by
+    ReusedExchange across the three shingle consumers). The DuckDB oracle
+    mirrors the exact hex-prefix -> BIGINT conversion and decimal band
+    concatenation."""
+    from ..operators.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        _docs(spark, sf_dir),
+        threshold=JACCARD_THRESHOLD,
+        n_hashes=N_MINHASH,
+        band_size=BAND_SIZE,
     )
 
 
