@@ -135,59 +135,60 @@ def train_hmm(sentences: DataFrame, max_model_rows: int = 50_000_000) -> HMMMode
     reference's single-file training). Multi-doc corpora are supported but
     order is (doc_id, sent_id, pos) lexicographic.
     """
-    sentences = sentences.where(F.size("tokens") > 0)
+    from .partitioning import fan_out
+
+    sentences = fan_out(sentences.where(F.size("tokens") > 0))
     order_cols = (
         [F.col("doc_id"), F.col("sent_id")]
         if "doc_id" in sentences.columns
         else [F.col("sent_id")]
     )
-    toks = sentences.select(
-        F.struct(*order_cols).alias("sent_id"),
-        F.posexplode(F.arrays_zip(F.col("tokens").alias("word"), F.col("tags").alias("tag"))).alias(
-            "pos", "wt"
-        ),
-    ).select("sent_id", "pos", F.col("wt.word").alias("word"), F.col("wt.tag").alias("tag"))
 
     # All five reference count tables (A1-A5) in ONE unified aggregation
-    # pass: rows tagged by kind, single shuffle, single collect. first_seen
-    # only matters for the 'w'/'t' kinds (index order, hmm_ner.py:37-38).
+    # pass AND one input scan: every sentence expands to a single array of
+    # (kind, k1, k2, pos) entries -- w/t/e per token, one i row, tr per
+    # adjacent pair -- exploded once into the shared hash aggregate.
+    # first_seen only matters for the 'w'/'t' kinds (index order,
+    # hmm_ner.py:37-38). Round 7: the previous form unioned five
+    # projections of the SAME input, so the scan (and, fanned out, its
+    # exchange) was recomputed five times per training pass; the count
+    # multiset is identical (zip_with over length-0 slices yields [] for
+    # 1-token sentences, matching the old n >= 2 guard).
+    def ent(kind, k1, k2, pos):
+        return F.struct(
+            kind.alias("kind"), k1.alias("k1"), k2.alias("k2"), pos.alias("pos")
+        )
+
     n = F.size("tags")
-    unified = (
-        toks.select(F.lit("w").alias("kind"), F.col("word").alias("k1"), F.lit("").alias("k2"), "sent_id", "pos")
-        .unionByName(
-            toks.select(F.lit("t").alias("kind"), F.col("tag").alias("k1"), F.lit("").alias("k2"), "sent_id", "pos")
-        )
-        .unionByName(
-            toks.select(F.lit("e").alias("kind"), F.col("tag").alias("k1"), F.col("word").alias("k2"), "sent_id", "pos")
-        )
-        .unionByName(
-            sentences.select(
-                F.lit("i").alias("kind"),
-                F.element_at("tags", 1).alias("k1"),
-                F.lit("").alias("k2"),
-                F.struct(*order_cols).alias("sent_id"),
-                F.lit(0).alias("pos"),
-            )
-        )
-        .unionByName(
-            sentences.where(n >= 2)
-            .select(
-                F.explode(
-                    F.arrays_zip(
-                        F.slice("tags", 1, n - 1).alias("prev"),
-                        F.slice(F.col("tags"), F.lit(2), n - 1).alias("curr"),
-                    )
-                ).alias("pc"),
-                F.struct(*order_cols).alias("sent_id"),
-            )
-            .select(
-                F.lit("tr").alias("kind"),
-                F.col("pc.prev").alias("k1"),
-                F.col("pc.curr").alias("k2"),
-                "sent_id",
-                F.lit(0).alias("pos"),
-            )
-        )
+    empty = F.lit("")
+    entries = F.concat(
+        F.transform(
+            "tokens", lambda w, i: ent(F.lit("w"), w, empty, i)
+        ),
+        F.transform(
+            "tags", lambda t, i: ent(F.lit("t"), t, empty, i)
+        ),
+        F.transform(
+            "tags",
+            lambda t, i: ent(
+                F.lit("e"), t, F.element_at(F.col("tokens"), i + F.lit(1)), i
+            ),
+        ),
+        F.array(ent(F.lit("i"), F.element_at("tags", 1), empty, F.lit(0))),
+        F.zip_with(
+            F.slice("tags", 1, n - 1),
+            F.slice(F.col("tags"), F.lit(2), n - 1),
+            lambda p, c: ent(F.lit("tr"), p, c, F.lit(0)),
+        ),
+    )
+    unified = sentences.select(
+        F.struct(*order_cols).alias("sent_id"), F.explode(entries).alias("en")
+    ).select(
+        F.col("en.kind").alias("kind"),
+        F.col("en.k1").alias("k1"),
+        F.col("en.k2").alias("k2"),
+        "sent_id",
+        F.col("en.pos").alias("pos"),
     )
     # limit(cap+1) keeps this a single job: under the cap it returns every
     # row; over it we get cap+1 arbitrary rows and refuse loudly.
