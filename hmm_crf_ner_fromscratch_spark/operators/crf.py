@@ -379,6 +379,9 @@ def decode_crf(
     by id -- workers are reused across tasks). Shipping prebuilt tables
     instead was measured slower: for a 1.4M-feature model the pickled
     tables dwarf the model and the broadcast dominates."""
+    from .partitioning import fan_out
+
+    sentences = fan_out(sentences)
     spark = sentences.sparkSession
     bc = spark.sparkContext.broadcast(model)
     from pyspark.sql.types import StructField, StructType

@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..functions.mentions import extract_spans_batch
+from .partitioning import fan_out
 
 
 def decode_and_extract(
@@ -49,7 +50,9 @@ def decode_and_extract(
             f"the input (columns: {turns.columns}); at least one key column "
             "is required to attribute spans"
         )
-    in_df = turns.select(*key_cols, token_col)
+    # fan out the narrow (keys, tokens) projection off unsplittable
+    # scans so the decode kernel runs on all cores (no-op at scale)
+    in_df = fan_out(turns.select(*key_cols, token_col))
     key_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in in_df.schema.fields[: len(key_cols)]
@@ -119,7 +122,9 @@ def decode_and_extract_crf(
             f"the input (columns: {turns.columns}); at least one key column "
             "is required to attribute spans"
         )
-    in_df = turns.select(*key_cols, token_col)
+    # fan out the narrow (keys, tokens) projection off unsplittable
+    # scans so the decode kernel runs on all cores (no-op at scale)
+    in_df = fan_out(turns.select(*key_cols, token_col))
     key_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in in_df.schema.fields[: len(key_cols)]

@@ -128,33 +128,53 @@ def materialize_graph_from_counts(
     same canonicalization and aggregation."""
     comp = connected_components(edges_sim)
 
-    keyed = cands.withColumn(
-        "key", F.concat_ws("|", "entity_type", "surface")
-    ).join(comp, "key", "left").withColumn(
-        "component", F.coalesce("component", F.col("key"))
-    )
-
-    # canonical surface: most-mentioned variant, ties -> lexicographic min
-    canon = (
-        keyed.groupBy("component")
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("n_mentions")).alias("neg_n"),
-                    F.col("surface").alias("surface"),
-                )
-            ).alias("best")
+    # Adaptive shortcut (round 7): connected_components always returns a
+    # materialized frame (checkpointed labels or a driver-built local
+    # table), so emptiness is known for free. An EMPTY link graph -- the
+    # common case for clean corpora; the flagship corpus produces zero
+    # link edges (tests/test_kg.py singleton assertion) -- means every
+    # candidate is its own component and its own canonical surface, so
+    # the component join, the canonical-surface aggregate, and the eager
+    # checkpoint all collapse to a projection of the (persisted) cands:
+    # two shuffles and one action less in every graph build. Results are
+    # identical by construction: coalesce(component, key) = key and the
+    # per-singleton best surface = the candidate's own surface.
+    if comp.isEmpty():
+        enriched = cands.withColumn(
+            "key", F.concat_ws("|", "entity_type", "surface")
+        ).withColumn("component", F.col("key")).withColumn(
+            "canonical", F.col("surface")
         )
-        .select("component", F.col("best.surface").alias("canonical"))
-    )
-    # eager localCheckpoint: feeds the nodes aggregate AND both resolution
-    # joins of the edges path (without it every consumer re-runs linking +
-    # CC). Unlike a bare persist(), its blocks are released by the
-    # ContextCleaner once the returned frames are garbage-collected, so
-    # repeated build_graph calls in a long-lived session don't accumulate
-    # cached blocks; and cands can be dropped as soon as it materializes
-    # (build_graph unpersists its cands right after this returns).
-    enriched = keyed.join(canon, "component").localCheckpoint(eager=True)
+    else:
+        keyed = cands.withColumn(
+            "key", F.concat_ws("|", "entity_type", "surface")
+        ).join(comp, "key", "left").withColumn(
+            "component", F.coalesce("component", F.col("key"))
+        )
+
+        # canonical surface: most-mentioned variant, ties -> lexicographic
+        # min
+        canon = (
+            keyed.groupBy("component")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("n_mentions")).alias("neg_n"),
+                        F.col("surface").alias("surface"),
+                    )
+                ).alias("best")
+            )
+            .select("component", F.col("best.surface").alias("canonical"))
+        )
+        # eager localCheckpoint: feeds the nodes aggregate AND both
+        # resolution joins of the edges path (without it every consumer
+        # re-runs linking + CC). Unlike a bare persist(), its blocks are
+        # released by the ContextCleaner once the returned frames are
+        # garbage-collected, so repeated build_graph calls in a long-lived
+        # session don't accumulate cached blocks; and cands can be dropped
+        # as soon as it materializes (build_graph unpersists its cands
+        # right after this returns).
+        enriched = keyed.join(canon, "component").localCheckpoint(eager=True)
 
     nodes = (
         enriched.groupBy("component", "canonical")

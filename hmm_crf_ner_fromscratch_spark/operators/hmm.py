@@ -275,9 +275,16 @@ def decode_hmm(
     float ops to the reference decoder, so outputs bit-match while running
     the DP over whole batches instead of per-sentence Python loops.
 
-    No shuffle is introduced: decode is embarrassingly parallel over
-    whatever partitioning the input already has.
+    Decode is embarrassingly parallel, so at scale it runs over whatever
+    partitioning the input already has; a single-row-group scan (1-task)
+    is fanned out first so the python kernel actually uses the cores
+    (round 7: fork-warm workers made the 32-way python stage cheaper
+    than the 1-way one even counting the narrow shuffle -- decode of the
+    sf0.1 corpus 1.0 -> 0.6 s).
     """
+    from .partitioning import fan_out
+
+    sentences = fan_out(sentences)
     spark = spark or sentences.sparkSession
     bc = spark.sparkContext.broadcast(
         {

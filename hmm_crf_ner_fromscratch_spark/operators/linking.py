@@ -109,6 +109,14 @@ def score_block_pairs(
     )
     a = guarded.alias("a")
     b = guarded.alias("b")
+    # No within-block dedup: blocked_candidates emits each (block, key)
+    # at most once by construction (B1 is one row per candidate, B2 one
+    # row per array_distinct token, and the two block namespaces are
+    # disjoint), so the equality self-join already yields each
+    # (block, src, dst) exactly once -- the dropDuplicates this carried
+    # through round 6 was a whole redundant exchange + aggregate in every
+    # graph build. Cross-block dedup stays at the consumers
+    # (link_edges / the incremental link_pairs read).
     pairs = (
         a.join(
             b,
@@ -129,7 +137,6 @@ def score_block_pairs(
             F.col("a.normalized").alias("norm_a"),
             F.col("b.normalized").alias("norm_b"),
         )
-        .dropDuplicates(["block", "src_key", "dst_key"])
     )
 
     # size-filter pruning (exact): Jaccard(A,B) <= min/max, so a pair can

@@ -36,6 +36,9 @@ def decode_transformer_crf(
 ) -> DataFrame:
     """Viterbi-decode every row's emission matrix; appends ``out_col``
     (array<string> of tag names, one per token)."""
+    from .partitioning import fan_out
+
+    df = fan_out(df)
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(
         {
