@@ -768,7 +768,15 @@ def viterbi_decode_crf_batch(
     taglut = np.array(tables.tags, dtype=object)
     bp_mat = tables.bp
     ptr_dtype = np.int8 if K <= 127 else np.int32
-    CHUNK = 1024
+    # adaptive chunk size, mirroring the training kernel's max_cells
+    # bound (operators/crf.py): the backpointer tensor is maxT*nc*K cells
+    # and each DP step broadcasts (nc, K, K) floats, so a fixed 1024 with
+    # very long sentences and a large tagset could spike memory; cap the
+    # sentences per chunk by cell budget instead (sentences are sorted
+    # longest-first, so the first chunk is the binding one)
+    max_cells = 8_000_000
+    maxT0 = int(lengths[order[0]]) if S else 1
+    CHUNK = min(1024, max(1, max_cells // max(maxT0 * K, 1)))
     for c0 in range(0, S, CHUNK):
         chunk = order[c0 : c0 + CHUNK]
         cl = lengths[chunk]  # descending

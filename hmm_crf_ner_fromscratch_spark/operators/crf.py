@@ -178,6 +178,9 @@ def build_registry(
     shape/prefix/suffix generalization features."""
     from ..functions.crf import normalize_templates
 
+    # NOT fanned out: a repartition below the persisted ctx made the
+    # 22-leg union 4x slower (each leg's subtree re-plans through the
+    # exchange while the cache populates); measured round 7
     u_tpls = normalize_templates(u_templates or U_TEMPLATES)
     b_tpls = normalize_templates(b_templates or B_TEMPLATES)
     xform_pairs = tuple(
@@ -751,7 +754,12 @@ def _batch_grad(tok_lists, tag_lists, tt: _TrainTables, w64, grad):
             if len(pos_ids):
                 pos_exp, fi = expand(pos_ids, pid[pos_ids], seg_start, seg_len)
                 fid_exp, ci_exp = flat[fi, 0], flat[fi, 1]
-                U64[pos_exp, ci_exp] += w64[fid_exp]
+                # np.add.at, not fancy-index +=: the registry invariant
+                # gives at most one fid per (rule, obs, tag) so the two
+                # agree TODAY, but += silently drops duplicate (pos, ci)
+                # contributions if that invariant ever changes; every
+                # other scatter site here already uses the buffered form
+                np.add.at(U64, (pos_exp, ci_exp), w64[fid_exp])
                 u_phase2.append((pos_exp, fid_exp, ci_exp))
     # STOP-tag unigrams: expectation (+1, fires with prob 1) and gold (-1)
     # cancel exactly in the gradient; only the weight enters logZ and the

@@ -115,7 +115,7 @@ P_FLIP_COS09 = 0.14358  # acos(0.9)/pi: P(one random plane splits a cos=0.9 pair
 
 
 def lsh_auto_config(
-    target_recall: float = 0.9, p_flip: float = P_FLIP_COS09
+    *, target_recall: float = 0.9, p_flip: float = P_FLIP_COS09
 ) -> tuple[int, int]:
     """Recall-aware (n_planes, probe_bits) for top-k LSH. Depends only on
     the recall target and the assumed neighbor similarity -- NOT on corpus

@@ -96,6 +96,10 @@ def local_df(spark: SparkSession, rows, schema):
     rows = list(rows)
     if not rows:
         return spark.createDataFrame([], st)
-    return spark.createDataFrame(
-        pd.DataFrame(rows, columns=st.names), schema=st
-    )
+    # object dtype end to end: a nullable integer column routed through a
+    # default pandas DataFrame becomes float64+NaN, and the Arrow cast to
+    # a long/int schema then raises or mangles values -- with dtype=object
+    # Arrow sees None, matching the declared schema for every column type
+    pdf = pd.DataFrame.from_records(rows, columns=st.names).astype(object)
+    pdf = pdf.where(pd.notna(pdf), None)
+    return spark.createDataFrame(pdf, schema=st)
