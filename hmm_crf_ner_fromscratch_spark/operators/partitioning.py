@@ -24,6 +24,11 @@ from pyspark.sql import DataFrame
 
 
 def fan_out(df: DataFrame) -> DataFrame:
+    if df.isStreaming:
+        # a streaming frame has no static partition count to inspect
+        # (micro-batch partitioning comes from the source); leave it to
+        # the stream's own maxFilesPerTrigger / source parallelism
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

@@ -737,6 +737,12 @@ PACK_SHARDS = 4
 SAMPLE_QUOTA = 20
 CONTAM_NGRAM = 5
 CONTAM_BENCH_MOD = 97  # doc_id % 97 == 0 -> the held-out "benchmark" slice
+# benchmark n-gram rows above this skip the broadcast hint and take a
+# shuffle join instead: a 5-gram row is ~50 bytes framed, so 5M rows is
+# a ~250 MB broadcast -- near the comfortable ceiling for executor-side
+# hash relations (guide SS3.1), far past the flip point measured in the
+# round-7 1M-doc sweep (BENCH/curation_1m_r7.md)
+CONTAM_BROADCAST_CAP = 5_000_000
 
 
 def q_contamination(spark, sf_dir):
@@ -766,9 +772,16 @@ def q_contamination(spark, sf_dir):
     )
     is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
     bench = grams.where(is_bench).select("g").distinct()
+    # bounded broadcast (round-6 verdict ask #1): the hint is only safe
+    # while the benchmark side fits executor memory; counting it costs
+    # one benchmark-sized pass (never corpus-sized) and flips to a
+    # shuffle join past the cap instead of OOMing the driver at real
+    # benchmark-suite scale. Results identical either way.
+    if bench.count() <= CONTAM_BROADCAST_CAP:
+        bench = F.broadcast(bench)
     return (
         grams.where(~is_bench)
-        .join(F.broadcast(bench), "g")
+        .join(bench, "g")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_hits"),

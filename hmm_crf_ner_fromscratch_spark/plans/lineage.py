@@ -305,18 +305,43 @@ class ParquetManifestTableIO:
             stage, *input_snapshots, str(total_rows), str(global_xor)
         )
 
+        # incremental lineage (round 7): a delta commit used to re-read
+        # the parquet footer of EVERY file in the stage -- O(total files)
+        # metadata I/O per micro-batch, one of the growing terms in the
+        # streaming-soak drift. Untouched files are untouched: their
+        # (rows, checksum, run_id) rows from the previous lineage table
+        # are still valid, so only files under the (re)written bucket
+        # dirs (plus any file the previous table somehow missed) get a
+        # fresh footer read. Every row still records the NEW snapshot id;
+        # untouched files keep the run_id that actually wrote them.
         files = _list_parquet_files(data_dir)
-        with ThreadPoolExecutor(max_workers=min(32, max(1, len(files)))) as ex:
-            metas = list(ex.map(_footer_meta, files))
+        lineage_path = os.path.join(self._dir(stage), "_lineage.parquet")
+        prev_lineage: dict = {}
+        if affected_buckets is not None and os.path.isdir(lineage_path):
+            rewritten = tuple(
+                os.path.join(data_dir, f"{bucket_col}={int(b)}") + os.sep
+                for b in affected_buckets
+            )
+            prev_lineage = {
+                r.file: (r.run_id, int(r.rows), int(r.checksum))
+                for r in self.spark.read.parquet(lineage_path).collect()
+                if not r.file.startswith(rewritten)
+            }
+        fresh = [p for p in files if p not in prev_lineage]
+        with ThreadPoolExecutor(
+            max_workers=min(32, max(1, len(fresh)))
+        ) as ex:
+            metas = list(ex.map(_footer_meta, fresh))
+        fresh_meta = {
+            p: (run_id, int(n), int(fp))
+            for p, (n, _size, fp) in zip(fresh, metas)
+        }
         lineage_rows = [
-            (stage, run_id, path, int(n), int(fp), snapshot)
-            for path, (n, _size, fp) in zip(files, metas)
+            (stage, rid, path, n, fp, snapshot)
+            for path in files
+            for rid, n, fp in [prev_lineage.get(path) or fresh_meta[path]]
         ]
-        _write_lineage(
-            self.spark,
-            lineage_rows,
-            os.path.join(self._dir(stage), "_lineage.parquet"),
-        )
+        _write_lineage(self.spark, lineage_rows, lineage_path)
 
         if n_buckets is None:
             inherit = prev if prev is not None else self.manifest(stage)

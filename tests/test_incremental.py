@@ -406,3 +406,80 @@ def test_resample_provenance(spark, english_golden, tmp_path):
     )
     with pytest.raises(ValueError, match="bucketed mod"):
         wrong.resample_provenance()
+
+
+def test_auto_rebalance_bounds_generations(spark, english_golden, tmp_path):
+    """Round-7 default-on state bounding: an append chain folds its
+    generation partitions back into the hash layout once the threshold
+    is reached, without changing any snapshot or the edge content, and
+    the incremental lineage path (untouched files keep their recorded
+    rows/checksums/run_id) stays audit-clean throughout."""
+    model = train_hmm(read_conll(spark, english_golden["train"], doc_id="t"))
+    inc = IncrementalKGPipeline(
+        spark,
+        str(tmp_path / "auto"),
+        model,
+        salt_bucket=64,
+        n_buckets=8,
+        auto_rebalance_generations=2,  # fold on every 2nd generation
+    )
+    batches = [
+        synth_transcripts(spark, 80, seed=500 + k).withColumn(
+            "conv_id", F.concat(F.lit(f"g{k}_"), F.col("conv_id"))
+        )
+        for k in range(4)
+    ]
+    for b in batches:
+        inc.run_append(b)
+    # generation count stays bounded below the threshold: the fold at
+    # batch 3 cleared generations 8 and 9; only the post-fold batch's
+    # fresh generation may remain
+    decoded_buckets = {int(k) for k in inc.io.manifest("decoded")["buckets"]}
+    assert 8 not in decoded_buckets and 9 not in decoded_buckets, decoded_buckets
+    assert inc._generation_count() < 2
+    # lineage stayed consistent through delta commits + rebalances
+    assert inc.io.audit("decoded") and inc.io.audit("mentions")
+    # converges to the one-shot result over the same content
+    full = batches[0]
+    for b in batches[1:]:
+        full = full.unionByName(b)
+    one = IncrementalKGPipeline(
+        spark, str(tmp_path / "one"), model, salt_bucket=64, n_buckets=8
+    )
+    one.run(full)
+    assert _edges_set(inc.io) == _edges_set(one.io)
+
+
+def test_incremental_lineage_reuses_untouched_rows(spark, english_golden, tmp_path):
+    """A delta commit must re-read footers ONLY for files in rewritten
+    partitions: rows for untouched files keep the run_id that wrote them
+    (and their recorded checksums), while every row carries the new
+    snapshot id."""
+    model = train_hmm(read_conll(spark, english_golden["train"], doc_id="t"))
+    inc = IncrementalKGPipeline(
+        spark,
+        str(tmp_path / "lin"),
+        model,
+        salt_bucket=64,
+        n_buckets=8,
+        auto_rebalance_generations=None,  # opt-out keeps generations
+    )
+    b0 = synth_transcripts(spark, 120, seed=600)
+    b1 = synth_transcripts(spark, 60, seed=601).withColumn(
+        "conv_id", F.concat(F.lit("n_"), F.col("conv_id"))
+    )
+    r0 = inc.run_append(b0)
+    lin0 = {r.file: r for r in inc.io.lineage("decoded").collect()}
+    r1 = inc.run_append(b1)
+    lin1 = {r.file: r for r in inc.io.lineage("decoded").collect()}
+    snap1 = inc.io.snapshot_id("decoded")
+    assert r0.run_id != r1.run_id
+    untouched = set(lin0) & set(lin1)
+    assert untouched, "second append should leave first-load buckets alone"
+    for f in untouched:
+        assert lin1[f].run_id == lin0[f].run_id  # original writer kept
+        assert lin1[f].checksum == lin0[f].checksum
+        assert lin1[f].snapshot_id == snap1  # but snapshot advanced
+    new_files = set(lin1) - set(lin0)
+    assert new_files and all(lin1[f].run_id == r1.run_id for f in new_files)
+    assert inc.io.audit("decoded")
