@@ -193,38 +193,43 @@ def build_registry(
             }
         )
     )
-    ctx = _context_frame(sentences, xform_pairs=xform_pairs).persist()
+    from .partitioning import fan_out
 
-    pieces = []
+    # single-pass feature stream (round 7): every ctx row expands to one
+    # array of per-template (ro, kind, rule_idx, obs, prev, cur) entries
+    # exploded straight into the shared hash aggregate. The previous form
+    # unioned one projection of a persisted ctx per template (22 legs),
+    # which pinned the whole scan + every leg to the input's partition
+    # count (one core off a single-row-group scan) and paid a cache
+    # materialization; one consumer also means the input can fan out
+    # safely. Row multiset identical: same entries, one per (row,
+    # template).
+    ctx = _context_frame(fan_out(sentences), xform_pairs=xform_pairs)
+
+    def ent(ro, kind, rule_idx, obs, prev):
+        return F.struct(
+            F.lit(ro).alias("ro"), F.lit(kind).alias("kind"),
+            F.lit(rule_idx).alias("rule_idx"), obs.alias("obs"),
+            prev.alias("prev"), F.col("cur").alias("cur"),
+        )
+
+    entries = []
     rule_order = 0
     for r, (_, offs, xf) in enumerate(u_tpls):
-        pieces.append(
-            ctx.select(
-                "sent", "pos", F.lit(rule_order).alias("ro"),
-                F.lit("U").alias("kind"), F.lit(r).alias("rule_idx"),
-                _obs_col(offs, xf).alias("obs"), F.lit("").alias("prev"), F.col("cur"),
-            )
-        )
+        entries.append(ent(rule_order, "U", r, _obs_col(offs, xf), F.lit("")))
         rule_order += 1
     for r, (_, offs, xf) in enumerate(b_tpls):
-        pieces.append(
-            ctx.select(
-                "sent", "pos", F.lit(rule_order).alias("ro"),
-                F.lit("BO").alias("kind"), F.lit(r).alias("rule_idx"),
-                _obs_col(offs, xf).alias("obs"), F.col("prev"), F.col("cur"),
-            )
-        )
+        entries.append(ent(rule_order, "BO", r, _obs_col(offs, xf), F.col("prev")))
         rule_order += 1
-    pieces.append(
-        ctx.select(
-            "sent", "pos", F.lit(rule_order).alias("ro"),
-            F.lit("BP").alias("kind"), F.lit(-1).alias("rule_idx"),
-            F.lit("").alias("obs"), F.col("prev"), F.col("cur"),
-        )
+    entries.append(ent(rule_order, "BP", -1, F.lit(""), F.col("prev")))
+    allf = ctx.select(
+        "sent", "pos", F.explode(F.array(*entries)).alias("en")
+    ).select(
+        "sent", "pos", F.col("en.ro").alias("ro"),
+        F.col("en.kind").alias("kind"), F.col("en.rule_idx").alias("rule_idx"),
+        F.col("en.obs").alias("obs"), F.col("en.prev").alias("prev"),
+        F.col("en.cur").alias("cur"),
     )
-    allf = pieces[0]
-    for p in pieces[1:]:
-        allf = allf.unionByName(p)
 
     # distinct features + first-seen position stay distributed (hash agg);
     # id assignment happens driver-side after collect — the registry must
@@ -248,7 +253,6 @@ def build_registry(
         .agg(F.min(F.struct("sent", "pos")).alias("first_seen"))
         .collect()
     )
-    ctx.unpersist()
     tags = [r.tag for r in sorted(tag_rows, key=lambda r: tuple(r.first_seen))]
 
     reg_rows.sort(key=lambda r: tuple(r.first_seen))
