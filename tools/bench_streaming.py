@@ -109,7 +109,7 @@ def main() -> None:
     try:
         for k, part in enumerate(staged):
             shutil.copy(part, os.path.join(in_dir, f"batch_{k:03d}.parquet"))
-            deadline = time.time() + 600
+            deadline = time.time() + 1800  # survive a transiently loaded host; abort only a truly wedged batch
             progress = None
             while time.time() < deadline:
                 for p in query.recentProgress[seen:]:
