@@ -15,7 +15,14 @@ from pyspark.sql import functions as F
 def pack_sequences(
     docs: DataFrame,
     capacity: int = 512,
-    n_shards: int = 4,
+    # 256, not 4: parallelism equals the shard count, and the round-7
+    # 1M-doc sweep (BENCH/curation_1m_r7.md) measured the old 4-shard
+    # default ~70% slower than 32+ shards ALREADY at 1M rows -- at real
+    # corpus scale four serialized cumsum windows would be the job.
+    # Deterministic constant (NOT derived from the environment): the
+    # packing layout is part of the result and must reproduce bit-for-bit
+    # across cluster sizes.
+    n_shards: int = 256,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
