@@ -2262,10 +2262,15 @@ def q_kg_incremental(spark, sf_dir):
 
     io = ParquetManifestTableIO(spark, tempfile.mkdtemp(prefix="kg_incr_"))
 
-    # ingest 1: full commit of the first conversation batch
+    # ingest 1: full commit of the first conversation batch. Repartition
+    # by the bucket column before the partitioned write: the fanned-out
+    # decode otherwise leaves every task writing a file into every
+    # bucket dir (32 x buckets small files), tripling the commit's
+    # footer-ledger work; content XOR is layout-blind so the snapshot id
+    # is unchanged (verified identical both ways).
     m1 = decode_and_extract(
         test.where(~batch2), model, key_cols=("conv_id", "turn_idx")
-    ).withColumn("bucket", bucket)
+    ).withColumn("bucket", bucket).repartition(n_buckets, F.col("bucket"))
     io.write_bucketed("mentions", m1, ["ingest:1"], "r1")
 
     # ingest 2: decode ONLY the new conversations and append them as a
@@ -2280,8 +2285,10 @@ def q_kg_incremental(spark, sf_dir):
         .withColumn("bucket", F.lit(gen).cast("int"))
         .localCheckpoint(eager=True)
     )
+    # single-generation delta -> coalesce the (checkpointed, small) frame
+    # so the generation dir gets one file instead of one per decode task
     io.write_bucketed(
-        "mentions", delta, ["ingest:2"], "r2", affected_buckets=[gen]
+        "mentions", delta.coalesce(1), ["ingest:2"], "r2", affected_buckets=[gen]
     )
 
     return _kg_edges_from_mentions(
