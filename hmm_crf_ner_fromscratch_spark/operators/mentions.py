@@ -33,9 +33,13 @@ def extract_mentions(
 ) -> DataFrame:
     """Explode decoded turns into a mentions table."""
     from ..functions.mentions import extract_spans_batch
+    from .partitioning import fan_out
 
     key_cols = tuple(c for c in key_cols if c in decoded.columns)
-    in_df = decoded.select(*key_cols, token_col, tag_col)
+    # fan the narrow projection out off unsplittable scans so the span
+    # kernel uses the cores (no-op when the input is already parallel,
+    # e.g. the fanned-out decode outputs)
+    in_df = fan_out(decoded.select(*key_cols, token_col, tag_col))
     key_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in in_df.schema.fields[: len(key_cols)]
     )
